@@ -1,0 +1,196 @@
+"""Benchmark: batched Macenko stain normalization, 256x256 tiles/sec/chip.
+
+Primary metric of BASELINE.json: end-to-end ``ExtractiveStainNormalizer
+('macenko').transform`` equivalents per second on one chip — per-tile stain
+matrix estimation + exact non-negative lasso + 99th-pct rescale +
+reconstruction — vs. the CPU reference pipeline (numpy eigh + closed-form
+lasso; note the true reference uses SPAMS' iterative LARS, which is *slower*
+than this baseline, so vs_baseline is conservative).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+TILE = 256
+BATCH = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 256
+ITERS = int(sys.argv[sys.argv.index("--iters") + 1]) if "--iters" in sys.argv else 10
+
+
+# --------------------------------------------------------------------------
+# Synthetic H&E tiles (self-contained; no dataset dependency)
+# --------------------------------------------------------------------------
+
+_HE = np.array([[0.55, 0.72, 0.42], [0.17, 0.80, 0.57]])
+_HE = _HE / np.linalg.norm(_HE, axis=1, keepdims=True)
+
+
+def make_tiles(n, h=TILE, w=TILE, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    out = np.empty((n, h, w, 3), np.uint8)
+    for i in range(n):
+        c_h = np.clip(0.8 + 0.6 * np.sin(yy / 9.0 + i) * np.cos(xx / 7.0), 0, None)
+        c_e = np.clip(0.6 + 0.4 * np.cos(yy / 11.0) * np.sin(xx / 5.0 + i), 0, None)
+        C = np.stack([c_h, c_e], -1) * (0.9 + 0.2 * rng.random((h, w, 2)))
+        img = 255.0 * np.exp(-(C @ _HE))
+        img[: h // 5] = 255 - rng.integers(0, 3, (h // 5, w, 3))
+        out[i] = np.clip(img, 0, 255).astype(np.uint8)
+    return out
+
+
+# --------------------------------------------------------------------------
+# CPU reference pipeline (numpy; reference formulas, see SURVEY.md section 3.1)
+# --------------------------------------------------------------------------
+
+
+def _np_od(I):
+    return np.maximum(-np.log(np.maximum(I.astype(np.float64), 1.0) / 255.0), 1e-6)
+
+
+def _np_luminance_mask(I):
+    # sRGB -> Y -> L*; reference thresholds LAB L/255 < 0.8 via OpenCV.
+    c = I.astype(np.float64) / 255.0
+    lin = np.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+    Y = lin @ np.array([0.212671, 0.715160, 0.072169])
+    L = np.where(Y > 0.008856, 116.0 * np.cbrt(Y) - 16.0, 903.3 * Y)
+    return (L / 100.0) < 0.8
+
+
+def _np_macenko(I):
+    mask = _np_luminance_mask(I).reshape(-1)
+    od = _np_od(I).reshape(-1, 3)[mask]
+    _, V = np.linalg.eigh(np.cov(od, rowvar=False))
+    V = V[:, [2, 1]]
+    V[:, 0] *= 1 if V[0, 0] >= 0 else -1
+    V[:, 1] *= 1 if V[0, 1] >= 0 else -1
+    proj = od @ V
+    phi = np.arctan2(proj[:, 1], proj[:, 0])
+    lo, hi = np.percentile(phi, 1), np.percentile(phi, 99)
+    v1 = V @ np.array([np.cos(lo), np.sin(lo)])
+    v2 = V @ np.array([np.cos(hi), np.sin(hi)])
+    HE = np.array([v1, v2]) if v1[0] > v2[0] else np.array([v2, v1])
+    return HE / np.linalg.norm(HE, axis=1, keepdims=True)
+
+
+def _np_lasso(od, M, lam=0.01):
+    G = M @ M.T
+    b = od @ M.T - lam
+    det = G[0, 0] * G[1, 1] - G[0, 1] ** 2
+    c1f = (G[1, 1] * b[:, 0] - G[0, 1] * b[:, 1]) / det
+    c2f = (G[0, 0] * b[:, 1] - G[0, 1] * b[:, 0]) / det
+    okf = (c1f >= 0) & (c2f >= 0)
+    c1o = np.maximum(b[:, 0], 0) / G[0, 0]
+    ok1 = (b[:, 0] >= 0) & (G[0, 1] * c1o - b[:, 1] >= 0)
+    c2o = np.maximum(b[:, 1], 0) / G[1, 1]
+    ok2 = (b[:, 1] >= 0) & (G[0, 1] * c2o - b[:, 0] >= 0)
+    c1 = np.where(okf, c1f, np.where(ok1, c1o, 0.0))
+    c2 = np.where(okf, c2f, np.where(~ok1 & ok2, c2o, 0.0))
+    return np.stack([c1, c2], -1)
+
+
+def cpu_transform(I, M_tgt, maxc_tgt):
+    M_src = _np_macenko(I)
+    C = _np_lasso(_np_od(I).reshape(-1, 3), M_src)
+    maxc_src = np.percentile(C, 99, axis=0)
+    C *= maxc_tgt / maxc_src
+    out = 255.0 * np.exp(-(C @ M_tgt))
+    return np.clip(out.reshape(I.shape), 0, 255).astype(np.uint8)
+
+
+def bench_cpu(tiles, M_tgt, maxc_tgt, n=6):
+    cpu_transform(tiles[0], M_tgt, maxc_tgt)  # warm caches
+    t0 = time.perf_counter()
+    for i in range(n):
+        cpu_transform(tiles[i % len(tiles)], M_tgt, maxc_tgt)
+    return n / (time.perf_counter() - t0)
+
+
+# --------------------------------------------------------------------------
+# Device pipeline
+# --------------------------------------------------------------------------
+
+
+def main():
+    import jax
+
+    # Remote TPU compiles are slow; persist them across runs.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from stainlib_tpu.extraction.macenko import stain_matrix_macenko
+    from stainlib_tpu.normalization import extractive
+    from stainlib_tpu.kernels import fused_stain
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform != "cpu"
+
+    tiles = make_tiles(BATCH)
+    target = make_tiles(1, seed=99)[0]
+
+    params = jax.tree.map(
+        jax.block_until_ready, extractive.fit(jnp.asarray(target), method="macenko")
+    )
+    M_tgt = np.asarray(params.stain_matrix_target, np.float64)
+    maxc_tgt = np.asarray(params.max_c_target, np.float64)
+
+    planar = jax.device_put(np.asarray(fused_stain.to_planar(jnp.asarray(tiles))))
+
+    def step_fused(x):
+        M_src = stain_matrix_macenko(
+            fused_stain.from_planar(x, TILE, TILE)
+        )
+        return fused_stain.fused_normalize_planar(
+            x, M_src, params.stain_matrix_target, params.max_c_target,
+            interpret=not on_tpu,
+        )
+
+    def step_functional(x):
+        return extractive.transform(
+            params, fused_stain.from_planar(x, TILE, TILE), method="macenko"
+        )
+
+    step = None
+    for candidate, name in ((step_fused, "fused"), (step_functional, "functional")):
+        try:
+            fn = jax.jit(candidate)
+            fn(planar).block_until_ready()
+            step = fn
+            path = name
+            break
+        except Exception as e:  # pragma: no cover - fallback path
+            print(f"# {name} path failed: {type(e).__name__}: {e}", file=sys.stderr)
+    assert step is not None, "no executable path"
+
+    # Timed region.
+    times = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        step(planar).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times))
+    tps = BATCH / p50
+
+    cpu_tps = bench_cpu(tiles, M_tgt, maxc_tgt)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"macenko_norm_{TILE}x{TILE}_tiles_per_sec_per_chip[{path}]",
+                "value": round(tps, 2),
+                "unit": "tiles/s",
+                "vs_baseline": round(tps / cpu_tps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,203 @@
+"""Single-pass fused stain-normalization Pallas kernel.
+
+The hot loop of ``ExtractiveStainNormalizer.transform``
+(``stainlib/normalization/normalizer.py:39-50``) is, per 256x256 tile:
+
+    uint8 RGB -> OD -> non-negative lasso (C) -> 99th-pct max per stain ->
+    rescale by maxC_target/maxC_src -> 255*exp(-C @ M_target) -> uint8
+
+The reference runs this as two native SPAMS calls plus numpy glue per image.
+A pure-XLA version must materialize the concentration field to HBM and run a
+65536-element sort per tile for the percentile. This kernel instead keeps the
+whole tile resident in VMEM and computes the exact 99th-percentile order
+statistics by *vectorized bisection on counts* (~40 comparison-reductions over
+data already in VMEM), so each tile costs exactly one HBM read (uint8 in) and
+one HBM write (uint8 out) — the bandwidth speed-of-light for this op.
+
+Layout: images are planar ``(B, 3, R, L)`` with ``R*L = H*W`` and ``L = 128``
+(lane-aligned). Per-image scalars ride in SMEM. The lasso is the exact
+closed-form active-set solve of :mod:`stainlib_tpu.ops.lasso`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+# SMEM scalar packing (per image):
+# [0:6]  source stain matrix rows (m1, m2), row-major
+# [6:12] target stain matrix rows
+# [12:14] maxC_target (2)
+# [14]   lasso regularizer
+# [15]   pad
+_NSCALAR = 16
+
+
+def _order_stat(c, rank, n_iters: int = 40):
+    """Exact ``rank``-th and ``rank+1``-th order statistics of 2D ``c`` by
+    scalar bisection on counts — no sort, all operands stay in VMEM.
+    ``rank`` is a Python int; returns two f32 scalars."""
+    hi0 = jnp.max(c)
+    lo0 = jnp.float32(0.0)
+
+    def body(_, state):
+        lo_a, hi_a, lo_b, hi_b = state
+        # Smallest v with count(c <= v) > rank.
+        mid_a = 0.5 * (lo_a + hi_a)
+        cnt_a = jnp.sum((c <= mid_a).astype(jnp.float32))
+        take_a = cnt_a > rank
+        hi_a = jnp.where(take_a, mid_a, hi_a)
+        lo_a = jnp.where(take_a, lo_a, mid_a)
+        mid_b = 0.5 * (lo_b + hi_b)
+        cnt_b = jnp.sum((c <= mid_b).astype(jnp.float32))
+        take_b = cnt_b > rank + 1
+        hi_b = jnp.where(take_b, mid_b, hi_b)
+        lo_b = jnp.where(take_b, lo_b, mid_b)
+        return lo_a, hi_a, lo_b, hi_b
+
+    _, hi_a, _, hi_b = jax.lax.fori_loop(0, n_iters, body, (lo0, hi0, lo0, hi0))
+    return hi_a, hi_b
+
+
+def _normalize_kernel(scal_ref, rgb_ref, out_ref, *, q: float, n_pixels: int):
+    img = pl.program_id(0)
+
+    def sc(i):
+        return scal_ref[img, i]
+
+    lam = sc(14)
+    # Mosaic has no direct u8->f32 cast; widen through int32.
+    rgb = rgb_ref[0].astype(jnp.int32).astype(jnp.float32)  # (3, R, L)
+    od0 = jnp.maximum(-jnp.log(jnp.maximum(rgb[0], 1.0) * (1.0 / 255.0)), 1e-6)
+    od1 = jnp.maximum(-jnp.log(jnp.maximum(rgb[1], 1.0) * (1.0 / 255.0)), 1e-6)
+    od2 = jnp.maximum(-jnp.log(jnp.maximum(rgb[2], 1.0) * (1.0 / 255.0)), 1e-6)
+
+    # Exact non-negative lasso, closed form (derivation in ops/lasso.py).
+    g11 = sc(0) * sc(0) + sc(1) * sc(1) + sc(2) * sc(2)
+    g22 = sc(3) * sc(3) + sc(4) * sc(4) + sc(5) * sc(5)
+    g12 = sc(0) * sc(3) + sc(1) * sc(4) + sc(2) * sc(5)
+    det = jnp.maximum(g11 * g22 - g12 * g12, 1e-12)
+    b1 = od0 * sc(0) + od1 * sc(1) + od2 * sc(2) - lam
+    b2 = od0 * sc(3) + od1 * sc(4) + od2 * sc(5) - lam
+
+    c1_full = (g22 * b1 - g12 * b2) / det
+    c2_full = (g11 * b2 - g12 * b1) / det
+    ok_full = (c1_full >= 0.0) & (c2_full >= 0.0)
+    c1_only = jnp.maximum(b1, 0.0) / g11
+    ok_1 = (b1 >= 0.0) & (g12 * c1_only - b2 >= 0.0)
+    c2_only = jnp.maximum(b2, 0.0) / g22
+    ok_2 = (b2 >= 0.0) & (g12 * c2_only - b1 >= 0.0)
+    c1 = jnp.where(ok_full, c1_full, jnp.where(ok_1, c1_only, 0.0))
+    c2 = jnp.where(ok_full, c2_full, jnp.where(~ok_1 & ok_2, c2_only, 0.0))
+
+    # Exact 99th percentile per stain (np.percentile linear interpolation).
+    rank = q / 100.0 * (n_pixels - 1)
+    rank_lo = int(rank)
+    frac = jnp.float32(rank - rank_lo)
+    v1_lo, v1_hi = _order_stat(c1, rank_lo)
+    v2_lo, v2_hi = _order_stat(c2, rank_lo)
+    max_c1 = v1_lo * (1.0 - frac) + v1_hi * frac
+    max_c2 = v2_lo * (1.0 - frac) + v2_hi * frac
+
+    scale1 = sc(12) / jnp.maximum(max_c1, 1e-8)
+    scale2 = sc(13) / jnp.maximum(max_c2, 1e-8)
+    c1s = c1 * scale1
+    c2s = c2 * scale2
+
+    # Reconstruct through the *target* stain matrix and quantize.
+    for ch in range(3):
+        od_out = c1s * sc(6 + ch) + c2s * sc(9 + ch)
+        val = 255.0 * jnp.exp(-od_out)
+        # f32 -> i32 -> u8 (no direct f32->u8 cast in Mosaic); the i32 cast
+        # truncates like the reference's .astype(np.uint8).
+        out_ref[0, ch] = jnp.clip(val, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("q", "regularizer", "interpret"))
+def fused_normalize_planar(
+    rgb_planar,
+    stain_matrix_src,
+    stain_matrix_tgt,
+    max_c_target,
+    q: float = 99.0,
+    regularizer: float = 0.01,
+    interpret: bool = False,
+):
+    """Fused normalize over planar tiles.
+
+    Args:
+      rgb_planar: (B, 3, R, L) uint8 with L = 128.
+      stain_matrix_src: (B, 2, 3) per-tile source stain matrices.
+      stain_matrix_tgt: (2, 3) or (B, 2, 3) target stain matrix.
+      max_c_target: (2,) or (B, 2) fitted 99th-pct target concentrations.
+    Returns:
+      (B, 3, R, L) uint8 normalized tiles.
+    """
+    B, C, R, L = rgb_planar.shape
+    assert C == 3 and L == LANES, (C, L)
+    tgt = jnp.broadcast_to(
+        jnp.asarray(stain_matrix_tgt, jnp.float32).reshape(-1, 2, 3), (B, 2, 3)
+    )
+    mct = jnp.broadcast_to(
+        jnp.asarray(max_c_target, jnp.float32).reshape(-1, 2), (B, 2)
+    )
+    scal = jnp.concatenate(
+        [
+            jnp.asarray(stain_matrix_src, jnp.float32).reshape(B, 6),
+            tgt.reshape(B, 6),
+            mct,
+            jnp.full((B, 1), regularizer, jnp.float32),
+            jnp.zeros((B, 1), jnp.float32),
+        ],
+        axis=1,
+    )
+
+    kernel = functools.partial(_normalize_kernel, q=q, n_pixels=R * L)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # the (B, 16) per-image scalar table
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 3, R, L), lambda i, scal: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, R, L), lambda i, scal: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 3, R, L), jnp.uint8),
+        interpret=interpret,
+    )(scal, rgb_planar)
+
+
+def to_planar(rgb):
+    """(B, H, W, 3) -> (B, 3, H*W/128, 128) planar lane-aligned layout."""
+    B, H, W, _ = rgb.shape
+    n = H * W
+    assert n % LANES == 0, (H, W)
+    return jnp.transpose(rgb, (0, 3, 1, 2)).reshape(B, 3, n // LANES, LANES)
+
+
+def from_planar(planar, h, w):
+    """Inverse of :func:`to_planar`."""
+    B = planar.shape[0]
+    return jnp.transpose(planar.reshape(B, 3, h, w), (0, 2, 3, 1))
+
+
+def fused_normalize(rgb, stain_matrix_src, stain_matrix_tgt, max_c_target,
+                    q: float = 99.0, regularizer: float = 0.01,
+                    interpret: bool = False):
+    """(B, H, W, 3) uint8 convenience wrapper around the planar kernel."""
+    B, H, W, _ = rgb.shape
+    out = fused_normalize_planar(
+        to_planar(rgb), stain_matrix_src, stain_matrix_tgt, max_c_target,
+        q=q, regularizer=regularizer, interpret=interpret,
+    )
+    return from_planar(out, H, W)

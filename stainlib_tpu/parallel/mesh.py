@@ -1,0 +1,67 @@
+"""Device-mesh construction: the Horovod/NCCL/MPI replacement.
+
+The reference launches N ranks with ``mpirun`` over SLURM and communicates
+via Horovod/NCCL (``dlmodels/color-information/run.sh:20-63``,
+``train_img_horo.py:148-173,406-454``). TPU-natively this is all mesh +
+collectives: ``jax.distributed.initialize()`` for multi-host bootstrap and a
+``jax.sharding.Mesh`` whose *outermost* axis maps to DCN (across slices) and
+inner axes to ICI, so data-parallel gradient reductions ride the fast fabric
+(SURVEY.md section 2.5).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host bootstrap (replaces ``hvd.init()``/mpirun env wiring).
+
+    No-op on a single host; on a multi-host deployment pass coordinator
+    address + process topology or rely on the TPU runtime's autodetection.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def make_mesh(n_devices: Optional[int] = None, **axis_sizes: int) -> Mesh:
+    """Build a named mesh over the first ``n_devices`` devices.
+
+    ``axis_sizes`` are ordered: the FIRST axis should be the slowest
+    (DCN / multi-host) one. Example: ``make_mesh(8, data=2, tiles=4)``.
+    Default: one 'data' axis spanning everything — the reference's pure
+    data-parallel Horovod layout.
+    """
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    if not axis_sizes:
+        axis_sizes = {"data": n_devices}
+    sizes = list(axis_sizes.values())
+    assert int(np.prod(sizes)) == n_devices, (axis_sizes, n_devices)
+    dev_array = np.asarray(devices[:n_devices]).reshape(sizes)
+    return Mesh(dev_array, tuple(axis_sizes.keys()))
+
+
+def local_data_shard(global_count: int, process_index: Optional[int] = None,
+                     process_count: Optional[int] = None):
+    """Per-host shard bounds for dataset partitioning.
+
+    Mirrors the reference sampler's per-rank split
+    (``data_utils.py:1``: ``test_per_worker = testims // hvd.size()`` etc.):
+    contiguous, equal shards, remainder dropped — deterministic across hosts.
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    per = global_count // pc
+    return pi * per, (pi + 1) * per

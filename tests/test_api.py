@@ -1,0 +1,69 @@
+"""Drop-in object API contract tests (reference class semantics)."""
+
+import numpy as np
+import pytest
+
+import stainlib_tpu as sl
+from tests.synth import he_patch
+
+
+def test_public_exports_match_reference():
+    # Everything stainlib/__init__.py:19-30 exports has a counterpart.
+    for name in [
+        "MacenkoStainExtractor",
+        "VahadaneStainExtractor",
+        "ExtractiveStainNormalizer",
+        "ReinhardStainNormalizer",
+        "LuminosityStandardizer",
+        "TissueMaskException",
+    ]:
+        assert hasattr(sl, name)
+
+
+def test_asserts_on_non_uint8():
+    with pytest.raises(AssertionError):
+        sl.MacenkoStainExtractor.get_stain_matrix(
+            np.zeros((8, 8, 3), np.float32)
+        )
+
+
+def test_tissue_mask_exception_on_white():
+    white = np.full((16, 16, 3), 255, np.uint8)
+    with pytest.raises(sl.TissueMaskException):
+        sl.LuminosityThresholdTissueLocator.get_tissue_mask(white)
+    with pytest.raises(sl.TissueMaskException):
+        sl.MacenkoStainExtractor.get_stain_matrix(white)
+
+
+def test_extractive_normalizer_macenko_roundtrip():
+    norm = sl.ExtractiveStainNormalizer(method="macenko")
+    norm.fit(he_patch(48, 48, seed=50))
+    out = norm.transform(he_patch(48, 48, seed=51))
+    assert out.shape == (48, 48, 3) and out.dtype == np.uint8
+    assert norm.stain_matrix_target.shape == (2, 3)
+    assert norm.maxC_target.shape == (1, 2)
+
+
+def test_extractive_normalizer_rejects_unknown_method():
+    with pytest.raises(Exception):
+        sl.ExtractiveStainNormalizer(method="nope")
+
+
+def test_reinhard_normalizer_object():
+    norm = sl.ReinhardStainNormalizer()
+    norm.fit(he_patch(48, 48, seed=52))
+    out = norm.transform(he_patch(48, 48, seed=53))
+    assert out.shape == (48, 48, 3) and out.dtype == np.uint8
+    assert np.asarray(norm.target_means).shape == (3,)
+
+
+def test_luminosity_standardizer_object():
+    out = sl.LuminosityStandardizer.standardize(he_patch(32, 32, seed=54))
+    assert out.dtype == np.uint8 and out.shape == (32, 32, 3)
+
+
+def test_get_concentrations_function():
+    img = he_patch(32, 32, seed=55)
+    M = sl.MacenkoStainExtractor.get_stain_matrix(img)
+    C = sl.get_concentrations(img, M)
+    assert C.shape == (32 * 32, 2) and (C >= 0).all()

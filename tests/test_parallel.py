@@ -1,0 +1,95 @@
+"""Sharding tests on the simulated 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stainlib_tpu.parallel.collectives import data_parallel_step
+from stainlib_tpu.parallel.mesh import local_data_shard, make_mesh
+from stainlib_tpu.parallel.stain_sharded import (
+    normalize_batch_sharded,
+    sharded_concentrations,
+)
+from tests.synth import HE_TRUE, he_batch, he_patch
+
+
+requires_8 = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 simulated devices"
+)
+
+
+@requires_8
+def test_make_mesh_axes():
+    mesh = make_mesh(8, data=2, tiles=4)
+    assert mesh.axis_names == ("data", "tiles")
+    assert mesh.devices.shape == (2, 4)
+
+
+@requires_8
+def test_sharded_normalize_matches_single_device():
+    mesh = make_mesh(8, data=8)
+    target = jnp.asarray(he_patch(32, 32, seed=80))
+    batch = jnp.asarray(he_batch(8, 32, 32, seed=81))
+    out = np.asarray(normalize_batch_sharded(mesh, target, batch))
+
+    from stainlib_tpu.normalization import extractive
+
+    params = extractive.fit(target, method="macenko")
+    want = np.asarray(extractive.transform(params, batch, method="macenko"))
+    # Sharded compilation may reorder float reductions: allow one uint8 step.
+    diff = np.abs(out.astype(int) - want.astype(int))
+    assert diff.max() <= 1 and (diff > 0).mean() < 0.01
+
+
+@requires_8
+def test_sharded_concentrations_match():
+    mesh = make_mesh(8, pixel=8)
+    rng = np.random.default_rng(0)
+    od = np.abs(rng.standard_normal((8 * 64, 3))).astype(np.float32)
+    M = jnp.asarray(HE_TRUE, jnp.float32)
+    got = np.asarray(sharded_concentrations(mesh, jnp.asarray(od), M))
+
+    from stainlib_tpu.ops.lasso import nonneg_lasso_k2
+
+    want = np.asarray(nonneg_lasso_k2(jnp.asarray(od), M))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@requires_8
+def test_data_parallel_step_grads_match_global():
+    mesh = make_mesh(8, data=8)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((64, 5)).astype(np.float32)
+    y = rng.standard_normal((64,)).astype(np.float32)
+    w = jnp.zeros((5,), jnp.float32)
+
+    def loss_fn(w, batch):
+        xb, yb = batch
+        return jnp.mean((xb @ w - yb) ** 2)
+
+    step = data_parallel_step(mesh, loss_fn)
+    loss, grads = step(w, (jnp.asarray(x), jnp.asarray(y)))
+    want = jax.grad(loss_fn)(w, (jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(np.asarray(grads), np.asarray(want), atol=1e-5)
+    np.testing.assert_allclose(
+        float(loss), float(loss_fn(w, (jnp.asarray(x), jnp.asarray(y)))), rtol=1e-6
+    )
+
+
+def test_local_data_shard_partition():
+    starts_ends = [local_data_shard(100, pi, 8) for pi in range(8)]
+    for i, (s, e) in enumerate(starts_ends):
+        assert e - s == 12 and s == i * 12
+
+
+@requires_8
+def test_graft_dryrun_multichip():
+    import importlib.util, pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", pathlib.Path(__file__).parent.parent / "__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
