@@ -1,0 +1,146 @@
+"""Validation / deployment orchestration for the flow color normalizer.
+
+Parity with ``train_img_horo.py:658-930`` (``validate``):
+
+  1. TEMPLATE pass over the template loader: encode, accumulate
+     responsibility-weighted per-class HSD statistics as running sums;
+  2. allreduce the template statistics across data-parallel workers
+     (``hvd.allreduce``/broadcast at ``:742-748``) — here a ``psum`` when a
+     mesh is active, or a plain sum of per-shard sums;
+  3. DEPLOY pass over the test loader: encode each batch, recolor via
+     :func:`stainlib_tpu.models.color_eval.image_dist_transform`, compute the
+     per-image NMI;
+  4. gather NMI vectors (``hvd.allgather`` at ``:877``) and report SD / CV
+     (``:865-885``) plus a CSV dump (``:899-906``).
+
+And ``visualize`` (``:933-1074``) / ``savegamma`` (``:632-656``): PNG dumps
+of template/test/converted images and class-membership maps.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stainlib_tpu.models import color_eval
+from stainlib_tpu.models.train_flow import FlowConfig, encode
+from stainlib_tpu.ops.colorspace import hsd_to_rgb, to_uint8
+from stainlib_tpu.ops.tissue import tissue_mask
+from stainlib_tpu.utils.meters import Throughput
+
+
+def accumulate_template_stats(flow, gmm, cfg: FlowConfig, params, spectral,
+                              template_batches: Iterable, key):
+    """Running-mean template statistics over all template batches
+    (``train_img_horo.py:676-727``): returns (mu, sigma) of shape (K, 3)."""
+    sum_w = None
+    sum_x = None
+    sum_xx = None
+    enc = jax.jit(
+        lambda hsd, k: encode(flow, gmm, params, spectral, cfg, hsd, k)
+    )
+    for hsd in template_batches:
+        hsd = jnp.asarray(hsd, jnp.float32)
+        key, sub = jax.random.split(key)
+        _, _, gamma = enc(hsd, sub)
+        w = jnp.sum(gamma, axis=(0, 1, 2))  # (K,)
+        x = jnp.einsum("bhwk,bhwc->kc", gamma, hsd)
+        xx = jnp.einsum("bhwk,bhwc->kc", gamma, hsd * hsd)
+        sum_w = w if sum_w is None else sum_w + w
+        sum_x = x if sum_x is None else sum_x + x
+        sum_xx = xx if sum_xx is None else sum_xx + xx
+    return finalize_template_stats(sum_w, sum_x, sum_xx)
+
+
+def finalize_template_stats(sum_w, sum_x, sum_xx, eps: float = 1e-6):
+    """Moments -> (mu, sigma). Under multi-host SPMD, psum the three sums
+    over the 'data' axis first (the hvd.allreduce of ``:742-744``)."""
+    tot = jnp.maximum(sum_w, eps)[:, None]
+    mu = sum_x / tot
+    sigma = jnp.sqrt(jnp.maximum(sum_xx / tot - mu * mu, eps))
+    return mu, sigma
+
+
+def deploy(flow, gmm, cfg: FlowConfig, params, spectral, test_batches,
+           mu_tmpl, sigma_tmpl, key, log=print):
+    """DEPLOY pass: recolor every test batch toward the template and collect
+    per-image NMI of the recolored output (``train_img_horo.py:750-862``).
+
+    Returns (nmi_values, recolored_batches). imgs/sec printed per batch
+    (the reference's throughput print at ``:862``).
+    """
+    enc = jax.jit(
+        lambda hsd, k: encode(flow, gmm, params, spectral, cfg, hsd, k)
+    )
+    nmis = []
+    outs = []
+    meter = Throughput()
+    for hsd in test_batches:
+        hsd = jnp.asarray(hsd, jnp.float32)
+        key, sub = jax.random.split(key)
+        _, _, gamma = enc(hsd, sub)
+        mu_s, sd_s = color_eval.class_color_stats(hsd, gamma)
+        rgb = color_eval.image_dist_transform(
+            hsd, gamma, mu_s, sd_s, mu_tmpl, sigma_tmpl
+        )
+        mask = tissue_mask(rgb).mask
+        for i in range(rgb.shape[0]):
+            nmis.append(float(color_eval.nmi(rgb[i], mask[i])))
+        outs.append(np.asarray(rgb))
+        log(f"deploy: {meter.tick(int(rgb.shape[0])):.1f} imgs/sec")
+    return np.asarray(nmis), outs
+
+
+def validate(flow, gmm, cfg: FlowConfig, params, spectral,
+             template_batches, test_batches, key,
+             out_dir: Optional[str] = None, log=print):
+    """Full validate(): template stats -> deploy -> NMI SD/CV (+ CSV)."""
+    k1, k2 = jax.random.split(key)
+    mu_t, sd_t = accumulate_template_stats(
+        flow, gmm, cfg, params, spectral, template_batches, k1
+    )
+    nmis, outs = deploy(flow, gmm, cfg, params, spectral, test_batches,
+                        mu_t, sd_t, k2, log=log)
+    sd, cv = color_eval.nmi_sd_cv(nmis)
+    log(f"validate: NMI sd={sd:.4f} cv={cv:.4f} over {len(nmis)} images")
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "nmi_metrics.csv"), "w",
+                  newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["nmi"])
+            w.writerows([[v] for v in nmis])
+            w.writerow([])
+            w.writerow(["sd", sd])
+            w.writerow(["cv", cv])
+    return {"nmi_sd": sd, "nmi_cv": cv, "nmi": nmis, "outputs": outs,
+            "mu_tmpl": np.asarray(mu_t), "sigma_tmpl": np.asarray(sd_t)}
+
+
+def save_visuals(out_dir: str, step: int, hsd_tmpl, hsd_test, rgb_converted,
+                 gamma):
+    """PNG dumps of template / test / converted images and class-membership
+    maps (``visualize``/``savegamma``, ``train_img_horo.py:632-656,
+    933-1074``)."""
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(name, arr):
+        Image.fromarray(np.asarray(arr)).save(
+            os.path.join(out_dir, f"{name}_{step:06d}.png")
+        )
+
+    dump("im_tmpl", np.asarray(to_uint8(hsd_to_rgb(hsd_tmpl[0]))))
+    dump("im_test", np.asarray(to_uint8(hsd_to_rgb(hsd_test[0]))))
+    dump("im_conv", np.asarray(rgb_converted[0]))
+    # Class-membership color map: argmax class -> distinct hue.
+    k = gamma.shape[-1]
+    palette = (np.linspace(0, 255, k)[:, None] * np.array([[1.0, 0.5, 0.25]]))
+    classes = np.asarray(jnp.argmax(gamma[0], axis=-1))
+    dump("im_gamma", palette[classes].astype(np.uint8))

@@ -64,7 +64,7 @@ def data_parallel_step(mesh: Mesh, loss_fn, axis_name: str = "data",
         mesh=mesh,
         in_specs=(P(), P(axis_name)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def step(params, batch):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch)

@@ -60,7 +60,7 @@ def sharded_concentrations(mesh: Mesh, od_pixels, stain_matrix,
         mesh=mesh,
         in_specs=(P(axis, None), P()),
         out_specs=P(axis, None),
-        check_rep=False,
+        check_vma=False,
     )
     def solve(od_shard, M):
         return nonneg_lasso_k2(od_shard, M, regularizer)

@@ -1,0 +1,113 @@
+"""Flow trainer: EMA, checkpoint round trip, bpd descent, sharded step,
+template transfer + NMI metrics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stainlib_tpu.models import color_eval
+from stainlib_tpu.models.train_flow import (
+    FlowConfig,
+    encode,
+    init_flow_state,
+    make_train_step,
+)
+from stainlib_tpu.ops.colorspace import rgb_to_hsd
+from stainlib_tpu.parallel.mesh import make_mesh
+from stainlib_tpu.utils import checkpoint as ckpt
+from stainlib_tpu.utils.ema import ema_init, ema_update
+from tests.synth import he_batch
+
+KEY = jax.random.PRNGKey(0)
+CFG = FlowConfig(image_size=16, n_scales=1, blocks_per_scale=2, hidden=8,
+                 n_power_series=3, n_clusters=3, lr=5e-3, warmup_iters=5,
+                 ema_decay=0.5)
+
+
+def _hsd_batch(n=8, seed=0):
+    rgb = he_batch(n, 16, 16, seed=seed, background_frac=0.0)
+    return jnp.asarray(rgb_to_hsd(jnp.asarray(rgb)))
+
+
+def test_ema_math():
+    p = {"w": jnp.zeros((2,))}
+    st = ema_init(p, decay=0.9)
+    st = ema_update(st, {"w": jnp.ones((2,))})
+    np.testing.assert_allclose(np.asarray(st.params["w"]), 0.1, rtol=1e-6)
+
+
+def test_checkpoint_round_trip(tmp_path):
+    state = {"a": jnp.arange(3, dtype=jnp.float32), "b": {"c": jnp.ones((2, 2))}}
+    d = str(tmp_path)
+    for step in range(7):
+        ckpt.save_checkpoint(d, state, step, keep_last=3)
+    # Rotation kept only the last 3 numbered checkpoints.
+    assert ckpt.latest_step(d) == 6
+    import os
+
+    numbered = [p for p in os.listdir(d) if p != "ckpt_most_recent.msgpack"]
+    assert len(numbered) == 3
+    restored = ckpt.restore_checkpoint(d, state)
+    np.testing.assert_allclose(np.asarray(restored["a"]), [0, 1, 2])
+
+
+def test_flow_training_reduces_bpd():
+    batch = _hsd_batch(8, seed=1)
+    flow, gmm, state, tx = init_flow_state(CFG, KEY, sample_hsd=batch)
+    step = make_train_step(flow, gmm, CFG, tx)
+    losses = []
+    for i in range(30):
+        state, loss = step(state, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) - 0.3, losses[:3] + losses[-3:]
+
+
+def test_flow_train_step_sharded():
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 simulated devices")
+    mesh = make_mesh(8, data=8)
+    flow, gmm, state, tx = init_flow_state(CFG, KEY)
+    step = make_train_step(flow, gmm, CFG, tx, mesh=mesh)
+    batch = _hsd_batch(16, seed=2)
+    state, loss = step(state, batch)
+    assert np.isfinite(float(loss))
+    # EMA and spectral state advanced.
+    assert int(state.step) == 1
+
+
+def test_encode_and_template_transfer_pipeline():
+    flow, gmm, state, tx = init_flow_state(CFG, KEY)
+    tmpl = _hsd_batch(4, seed=3)
+    test = _hsd_batch(4, seed=4)
+    bpd, z, gamma_t = encode(flow, gmm, state.params, state.spectral, CFG,
+                             tmpl, KEY)
+    assert bpd.shape == (4,) and gamma_t.shape[:3] == (4, 16, 16)
+
+    mu_t, sd_t = color_eval.class_color_stats(tmpl, gamma_t)
+    _, _, gamma_s = encode(flow, gmm, state.params, state.spectral, CFG,
+                           test, KEY)
+    mu_s, sd_s = color_eval.class_color_stats(test, gamma_s)
+    out = color_eval.image_dist_transform(test, gamma_s, mu_s, sd_s, mu_t, sd_t)
+    assert out.shape == (4, 16, 16, 3) and out.dtype == jnp.uint8
+
+    # Identity transfer (template == source stats) reproduces the input.
+    ident = color_eval.image_dist_transform(test, gamma_s, mu_s, sd_s,
+                                            mu_s, sd_s)
+    from stainlib_tpu.ops.colorspace import hsd_to_rgb, to_uint8
+
+    direct = to_uint8(hsd_to_rgb(test))
+    diff = np.abs(np.asarray(ident, int) - np.asarray(direct, int))
+    assert diff.max() <= 1
+
+
+def test_nmi_metrics():
+    rng = np.random.default_rng(0)
+    img = rng.integers(100, 200, (32, 32, 3)).astype(np.uint8)
+    mask = np.ones((32, 32), bool)
+    val = float(color_eval.nmi(jnp.asarray(img), jnp.asarray(mask)))
+    assert 0.5 < val <= 1.0
+    sd, cv = color_eval.nmi_sd_cv([0.8, 0.9, 1.0])
+    np.testing.assert_allclose(sd, np.std([0.8, 0.9, 1.0]), rtol=1e-6)
+    np.testing.assert_allclose(cv, sd / 0.9, rtol=1e-6)
