@@ -1,0 +1,300 @@
+"""ctypes bindings + on-demand build of the native tile pipeline.
+
+The C++ core (``_native/tilereader.cpp``) plays the role of the reference's
+native data plumbing (OpenSlide/PyVips decode + OpenCV morphology inside
+``data_utils.py:1``). It is compiled once with g++ into the package tree and
+loaded via ctypes (no pybind11 dependency). Every entry point has a numpy
+fallback so the framework degrades gracefully on hosts without a compiler.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "_native", "tilereader.cpp")
+_LIB_PATH = os.path.join(_DIR, "_native", "libtilereader.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+MAGIC = 0x31525357  # "WSR1"
+
+
+def build_native(force: bool = False) -> Optional[str]:
+    """Compile the shared library if needed. Returns its path or None."""
+    global _build_failed
+    if os.path.exists(_LIB_PATH) and not force:
+        return _LIB_PATH
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+             _SRC, "-o", _LIB_PATH],
+            check=True, capture_output=True,
+        )
+        return _LIB_PATH
+    except (OSError, subprocess.CalledProcessError):
+        _build_failed = True
+        return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if necessary) the native library; None if unavailable."""
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        path = build_native()
+        if path is None:
+            return None
+        lib = ctypes.CDLL(path)
+        lib.tr_open.restype = ctypes.c_void_p
+        lib.tr_open.argtypes = [ctypes.c_char_p]
+        lib.tr_close.argtypes = [ctypes.c_void_p]
+        lib.tr_num_levels.argtypes = [ctypes.c_void_p]
+        lib.tr_num_levels.restype = ctypes.c_int
+        lib.tr_level_size.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+        ]
+        lib.tr_read_region.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.tr_read_region.restype = ctypes.c_int
+        lib.tr_sample_tiles.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_uint64, ctypes.c_double, ctypes.c_double,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.tr_sample_tiles.restype = ctypes.c_int
+        lib.tr_tissue_mask.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p,
+        ]
+        lib.tr_tissue_mask.restype = ctypes.c_int
+        lib.tr_pack_planar.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.tr_pack_planar.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+# ---------------------------------------------------------------------------
+# WSIRAW ("WSR1") pyramid container
+# ---------------------------------------------------------------------------
+
+
+def write_wsiraw(path: str, levels) -> None:
+    """Write a raw RGB pyramid: header (magic, n_levels, per-level w/h/pad)
+    followed by contiguous uint8 HWC planes, coarsest last. ``levels``:
+    sequence of (H, W, 3) uint8 arrays, level 0 first (full resolution)."""
+    with open(path, "wb") as f:
+        f.write(np.uint32(MAGIC).tobytes())
+        f.write(np.uint32(len(levels)).tobytes())
+        for lv in levels:
+            h, w, c = lv.shape
+            assert c == 3 and lv.dtype == np.uint8
+            f.write(np.uint32(w).tobytes())
+            f.write(np.uint32(h).tobytes())
+            f.write(np.zeros(2, np.uint32).tobytes())  # reserved
+        for lv in levels:
+            f.write(np.ascontiguousarray(lv).tobytes())
+
+
+class RawSlide:
+    """Handle over a WSIRAW pyramid, native-backed with numpy fallback.
+
+    API mirrors what the WSI sampler needs from OpenSlide/pyvips
+    (``read_region`` / level geometry; ``data_utils.py:1``).
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self._lib = get_lib()
+        self._handle = None
+        self._np_levels = None
+        if self._lib is not None:
+            self._handle = self._lib.tr_open(path.encode())
+        if not self._handle:
+            self._lib = None
+            self._np_levels = _read_wsiraw_numpy(path)
+
+    @property
+    def native(self) -> bool:
+        return self._handle is not None
+
+    @property
+    def num_levels(self) -> int:
+        if self.native:
+            return self._lib.tr_num_levels(self._handle)
+        return len(self._np_levels)
+
+    def level_size(self, level: int) -> Tuple[int, int]:
+        """(width, height)."""
+        if self.native:
+            w = ctypes.c_uint32()
+            h = ctypes.c_uint32()
+            self._lib.tr_level_size(self._handle, level, ctypes.byref(w),
+                                    ctypes.byref(h))
+            return w.value, h.value
+        lv = self._np_levels[level]
+        return lv.shape[1], lv.shape[0]
+
+    def read_region(self, level: int, x: int, y: int, w: int, h: int):
+        """(h, w, 3) uint8; out-of-bounds filled white."""
+        out = np.empty((h, w, 3), np.uint8)
+        if self.native:
+            rc = self._lib.tr_read_region(
+                self._handle, level, x, y, w, h,
+                out.ctypes.data_as(ctypes.c_void_p),
+            )
+            assert rc == 0, rc
+            return out
+        lv = self._np_levels[level]
+        out[:] = 255
+        x0, y0 = max(x, 0), max(y, 0)
+        x1, y1 = min(x + w, lv.shape[1]), min(y + h, lv.shape[0])
+        if x0 < x1 and y0 < y1:
+            out[y0 - y : y1 - y, x0 - x : x1 - x] = lv[y0:y1, x0:x1]
+        return out
+
+    def sample_tiles(self, level: int, tile: int, n: int, seed: int = 0,
+                     white_mean_max: float = 230.0, stddev_min: float = 15.0,
+                     mask: Optional[np.ndarray] = None,
+                     mask_scale: float = 0.0,
+                     max_attempts: int = 50):
+        """Random tissue tiles with rejection (trainer-mode sampling rules
+        of ``data_utils.py:1``). Returns (tiles (n,t,t,3), coords (n,2));
+        coords are (-1,-1) for slots that exhausted their attempts."""
+        out = np.empty((n, tile, tile, 3), np.uint8)
+        coords = np.empty((n, 2), np.int64)
+        if self.native:
+            m_ptr = None
+            mw = mh = 0
+            if mask is not None:
+                mask = np.ascontiguousarray(mask.astype(np.uint8))
+                m_ptr = mask.ctypes.data_as(ctypes.c_void_p)
+                mh, mw = mask.shape
+            self._lib.tr_sample_tiles(
+                self._handle, level, tile, n, seed, white_mean_max,
+                stddev_min, m_ptr, mw, mh, mask_scale, max_attempts,
+                out.ctypes.data_as(ctypes.c_void_p),
+                coords.ctypes.data_as(ctypes.c_void_p),
+            )
+            return out, coords
+        # numpy fallback
+        rng = np.random.default_rng(seed)
+        W, H = self.level_size(level)
+        for i in range(n):
+            coords[i] = (-1, -1)
+            for _ in range(max_attempts):
+                x = int(rng.integers(0, W - tile + 1))
+                y = int(rng.integers(0, H - tile + 1))
+                if mask is not None:
+                    mx = min(int(x * mask_scale), mask.shape[1] - 1)
+                    my = min(int(y * mask_scale), mask.shape[0] - 1)
+                    if not mask[my, mx]:
+                        continue
+                patch = self.read_region(level, x, y, tile, tile)
+                if patch.mean() > white_mean_max or patch.std() < stddev_min:
+                    continue
+                out[i] = patch
+                coords[i] = (x, y)
+                break
+            else:
+                out[i] = 128
+        return out, coords
+
+    def close(self):
+        if self.native and self._handle:
+            self._lib.tr_close(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def _read_wsiraw_numpy(path: str):
+    with open(path, "rb") as f:
+        head = np.frombuffer(f.read(8), np.uint32)
+        assert head[0] == MAGIC, "not a WSIRAW file"
+        n = int(head[1])
+        geom = np.frombuffer(f.read(16 * n), np.uint32).reshape(n, 4)
+        levels = []
+        for i in range(n):
+            w, h = int(geom[i, 0]), int(geom[i, 1])
+            levels.append(
+                np.frombuffer(f.read(3 * w * h), np.uint8).reshape(h, w, 3)
+            )
+    return levels
+
+
+# ---------------------------------------------------------------------------
+# Standalone helpers
+# ---------------------------------------------------------------------------
+
+
+def tissue_mask_hsv(rgb: np.ndarray, h_range=(120, 180), s_range=(20, 255),
+                    v_range=(30, 255), k_close: int = 51, k_open: int = 31):
+    """HSV in-range tissue mask + box close/open morphology — the sampler's
+    ``get_bb`` ROI detection (``data_utils.py:1``). Returns a bool mask."""
+    rgb = np.ascontiguousarray(rgb, np.uint8)
+    h, w, _ = rgb.shape
+    out = np.empty((h, w), np.uint8)
+    lib = get_lib()
+    if lib is not None:
+        lib.tr_tissue_mask(
+            rgb.ctypes.data_as(ctypes.c_void_p), w, h,
+            h_range[0], h_range[1], s_range[0], s_range[1],
+            v_range[0], v_range[1], k_close, k_open,
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        return out.astype(bool)
+    # numpy fallback (cv2-convention HSV)
+    import cv2 as cv
+
+    hsv = cv.cvtColor(rgb, cv.COLOR_RGB2HSV)
+    m = cv.inRange(hsv, (h_range[0], s_range[0], v_range[0]),
+                   (h_range[1], s_range[1], v_range[1])).astype(np.uint8)
+    m = cv.morphologyEx(m, cv.MORPH_CLOSE, np.ones((k_close, k_close), np.uint8))
+    m = cv.morphologyEx(m, cv.MORPH_OPEN, np.ones((k_open, k_open), np.uint8))
+    return m.astype(bool)
+
+
+def pack_planar(batch: np.ndarray) -> np.ndarray:
+    """(B, H, W, 3) uint8 -> (B, 3, H*W//128, 128): the host-side repack that
+    feeds the fused Pallas kernel without an on-device transpose."""
+    b, h, w, _ = batch.shape
+    out = np.empty((b, 3, h * w), np.uint8)
+    lib = get_lib()
+    batch = np.ascontiguousarray(batch)
+    if lib is not None:
+        lib.tr_pack_planar(
+            batch.ctypes.data_as(ctypes.c_void_p),
+            out.ctypes.data_as(ctypes.c_void_p), b, h, w,
+        )
+    else:
+        out[:] = batch.transpose(0, 3, 1, 2).reshape(b, 3, h * w)
+    assert (h * w) % 128 == 0
+    return out.reshape(b, 3, (h * w) // 128, 128)
