@@ -128,6 +128,7 @@ def main():
     from stainlib_tpu.extraction.macenko import stain_matrix_macenko
     from stainlib_tpu.normalization import extractive
     from stainlib_tpu.kernels import fused_stain
+    from stainlib_tpu.kernels.macenko_fused import macenko_normalize_planar
 
     dev = jax.devices()[0]
     on_tpu = dev.platform != "cpu"
@@ -142,6 +143,14 @@ def main():
     maxc_tgt = np.asarray(params.max_c_target, np.float64)
 
     planar = jax.device_put(np.asarray(fused_stain.to_planar(jnp.asarray(tiles))))
+
+    def step_full_fused(x):
+        # Everything (estimation + lasso + percentiles + reconstruction) in
+        # two Pallas kernels; see kernels/macenko_fused.py.
+        return macenko_normalize_planar(
+            x, params.stain_matrix_target, params.max_c_target,
+            interpret=not on_tpu,
+        )
 
     def step_fused(x):
         M_src = stain_matrix_macenko(
@@ -158,7 +167,9 @@ def main():
         )
 
     step = None
-    for candidate, name in ((step_fused, "fused"), (step_functional, "functional")):
+    for candidate, name in ((step_full_fused, "full_fused"),
+                            (step_fused, "fused"),
+                            (step_functional, "functional")):
         try:
             fn = jax.jit(candidate)
             fn(planar).block_until_ready()

@@ -1,0 +1,364 @@
+"""Fully-fused Macenko fit + transform: two Pallas kernels per tile batch.
+
+The complete per-tile pipeline of ``ExtractiveStainNormalizer('macenko')``
+(``normalizer.py:39-50`` + ``macenko_stain_extractor.py:7-44``) at HBM
+speed-of-light:
+
+  kernel A (1 uint8 read / 16 floats out):  LAB-luminance tissue mask and
+     masked OD moments (count, sum, second moments) per tile;
+  XLA glue (negligible):                    3x3 covariance -> closed-form
+     eigh -> top-2 eigenvector plane;
+  kernel B (1 uint8 read / 1 uint8 write):  OD projection angles, masked
+     angular-percentile bounds by in-VMEM bisection (dynamic ranks — the
+     tissue count is data-dependent), extreme stain vectors, H/E ordering
+     and row normalization in scalar registers, exact closed-form
+     non-negative lasso, 99th-pct concentration rescale (bisection again)
+     and Beer-Lambert reconstruction through the target matrix.
+
+Against the pure-XLA path this removes two 65k-element sorts per tile, all
+intermediate HBM materialization (OD field, angle field, concentration
+field), and every device<->device reshuffle: ~3 passes of uint8 traffic per
+tile total. Layout: planar (B, 3, R, 128); see ``fused_stain.to_planar`` /
+``data.native.pack_planar`` for producers.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stainlib_tpu.kernels.fused_stain import from_planar, to_planar
+from stainlib_tpu.ops.linalg3 import eigh3x3
+
+LANES = 128
+
+# ---------------------------------------------------------------------------
+# Shared in-kernel pieces
+# ---------------------------------------------------------------------------
+
+
+def _od_and_mask(rgb_u8, luminosity_threshold):
+    """uint8 (3, R, L) -> (od0, od1, od2, mask). Mask reproduces the LAB
+    L/100 < thresh rule (``stain_utils.py:29-48``) with the same sRGB gamma
+    + CIE L* math as ops.colorspace.lab_luminance."""
+    rgb = rgb_u8.astype(jnp.int32).astype(jnp.float32)
+    c0, c1, c2 = rgb[0] / 255.0, rgb[1] / 255.0, rgb[2] / 255.0
+
+    def lin(c):
+        return jnp.where(
+            c <= 0.04045, c / 12.92, jnp.exp(2.4 * jnp.log((c + 0.055) / 1.055))
+        )
+
+    y = 0.212671 * lin(c0) + 0.715160 * lin(c1) + 0.072169 * lin(c2)
+    # Mosaic has no cbrt primitive; exp(log/3) is exact enough on the branch
+    # where it is used (y > delta > 0).
+    cbrt_y = jnp.exp(jnp.log(jnp.maximum(y, 0.008856)) / 3.0)
+    L = jnp.where(y > 0.008856, 116.0 * cbrt_y - 16.0, 903.3 * y)
+    mask = (L / 100.0) < luminosity_threshold
+
+    def od(c):
+        return jnp.maximum(-jnp.log(jnp.maximum(c * 255.0, 1.0) / 255.0), 1e-6)
+
+    return od(c0), od(c1), od(c2), mask
+
+
+def _multi_masked_percentile(searches, n_iters=32):
+    """Several np.percentile(values[mask], q) computations fused into ONE
+    bisection loop: every iteration evaluates all order-stat counts in a
+    single traversal of the operands, so the pass count is n_iters instead of
+    n_iters * n_searches * 2 (the loop is latency-bound on the sequential
+    scalar dependency, not bandwidth — batching the counts is nearly free).
+
+    ``searches``: list of (values, mask_or_None, n_valid, q, lo_init,
+    hi_init); returns one interpolated percentile per entry. Ranks may be
+    traced scalars (the tissue count is data-dependent).
+    """
+    ranks = []
+    fracs = []
+    state = []
+    for values, mask, n_valid, q, lo0, hi0 in searches:
+        rank_f = q / 100.0 * jnp.maximum(n_valid - 1.0, 0.0)
+        rank_lo = jnp.floor(rank_f)
+        ranks.append(rank_lo)
+        fracs.append(rank_f - rank_lo)
+        vm = values if mask is None else jnp.where(mask, values,
+                                                   jnp.float32(3.4e38))
+        # Two searches per percentile: ranks k and k+1.
+        state.append((vm, lo0, hi0, lo0, hi0))
+
+    def body(_, state):
+        out = []
+        for (vm, lo_a, hi_a, lo_b, hi_b), rank in zip(state, ranks):
+            mid_a = 0.5 * (lo_a + hi_a)
+            mid_b = 0.5 * (lo_b + hi_b)
+            cnt_a = jnp.sum(jnp.where(vm <= mid_a, 1.0, 0.0))
+            cnt_b = jnp.sum(jnp.where(vm <= mid_b, 1.0, 0.0))
+            take_a = cnt_a > rank
+            take_b = cnt_b > rank + 1.0
+            out.append((
+                vm,
+                jnp.where(take_a, lo_a, mid_a),
+                jnp.where(take_a, mid_a, hi_a),
+                jnp.where(take_b, lo_b, mid_b),
+                jnp.where(take_b, mid_b, hi_b),
+            ))
+        return tuple(out)
+
+    state = jax.lax.fori_loop(0, n_iters, body, tuple(state))
+    results = []
+    for (vm, _, hi_a, _, hi_b), frac in zip(state, fracs):
+        results.append(hi_a * (1.0 - frac) + hi_b * frac)
+    return results
+
+
+# ---------------------------------------------------------------------------
+# Kernel A: masked OD moments
+# ---------------------------------------------------------------------------
+
+_NSTAT = 10  # count, sum(3), upper-tri second moments (6)
+
+
+def _stats_kernel(rgb_ref, out_ref, *, luminosity_threshold: float):
+    # Output block is a TPU-tile-shaped (8, 128) f32 plane; the ten stats
+    # live in a one-hot-encoded sum (stat value at lane position k of row 0),
+    # which sidesteps scalar-output layout restrictions.
+    od0, od1, od2, mask = _od_and_mask(rgb_ref[0], luminosity_threshold)
+    m = mask.astype(jnp.float32)
+    stats = [
+        jnp.sum(m),
+        jnp.sum(m * od0),
+        jnp.sum(m * od1),
+        jnp.sum(m * od2),
+        jnp.sum(m * od0 * od0),
+        jnp.sum(m * od0 * od1),
+        jnp.sum(m * od0 * od2),
+        jnp.sum(m * od1 * od1),
+        jnp.sum(m * od1 * od2),
+        jnp.sum(m * od2 * od2),
+    ]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    acc = jnp.zeros((8, 128), jnp.float32)
+    for k, v in enumerate(stats):
+        acc = acc + jnp.where((row == 0) & (lane == k), v, 0.0)
+    out_ref[0] = acc
+
+
+# ---------------------------------------------------------------------------
+# Kernel B: angles -> stain matrix -> lasso -> rescale -> reconstruct
+# ---------------------------------------------------------------------------
+
+# per-image scalar table for kernel B:
+# [0:6]  V2 columns (v1x v1y v1z v2x v2y v2z) — the top-2 eigenvector plane
+# [6:12] target stain matrix rows
+# [12:14] maxC_target
+# [14] regularizer, [15] luminosity threshold
+_NSCAL_B = 16
+
+
+def _apply_kernel(scal_ref, rgb_ref, out_ref, *, q_angle: float,
+                  q_conc: float, n_pixels: int):
+    img = pl.program_id(0)
+
+    def sc(i):
+        return scal_ref[img, i]
+
+    lam = sc(14)
+    od0, od1, od2, mask = _od_and_mask(rgb_ref[0], sc(15))
+    n_valid = jnp.sum(mask.astype(jnp.float32))
+
+    # Project OD onto the eigenplane. Mosaic has no atan2/cos/sin, and none
+    # are needed: the angular percentile only requires a MONOTONE function of
+    # the angle (order statistics commute with monotone maps), so we use the
+    # diamond pseudo-angle p(x, y) in [0, 4) shifted to start at the -x axis
+    # like atan2's range, and invert the percentile value back to an exact
+    # unit direction piecewise-linearly. (The only divergence from
+    # np.percentile is the interpolation between two *adjacent pixel* angles
+    # happening in pseudo-angle space — O(gap^2), far below uint8 rounding.)
+    t1 = od0 * sc(0) + od1 * sc(1) + od2 * sc(2)
+    t2 = od0 * sc(3) + od1 * sc(4) + od2 * sc(5)
+    eps = 1e-30
+    p_q1 = t2 / (t1 + t2 + eps)
+    p_q2 = 1.0 - t1 / (t2 - t1 + eps)
+    p_q3 = 2.0 - t2 / (-t1 - t2 + eps)
+    p_q4 = 3.0 + t1 / (t1 - t2 + eps)
+    p = jnp.where(
+        t2 >= 0.0,
+        jnp.where(t1 >= 0.0, p_q1, p_q2),
+        jnp.where(t1 < 0.0, p_q3, p_q4),
+    )
+    m_angle = p + 2.0
+    m_angle = jnp.where(m_angle >= 4.0, m_angle - 4.0, m_angle)
+
+    min_m, max_m = _multi_masked_percentile([
+        (m_angle, mask, n_valid, 100.0 - q_angle,
+         jnp.float32(0.0), jnp.float32(4.0)),
+        (m_angle, mask, n_valid, q_angle,
+         jnp.float32(0.0), jnp.float32(4.0)),
+    ])
+
+    def unit_dir(m):
+        # Invert: shifted pseudo-angle -> diamond angle -> unit (cos, sin).
+        pp = m + 2.0
+        pp = jnp.where(pp >= 4.0, pp - 4.0, pp)
+        x = jnp.where(pp < 2.0, 1.0 - pp, pp - 3.0)
+        y = jnp.where(pp < 1.0, pp, jnp.where(pp < 3.0, 2.0 - pp, pp - 4.0))
+        inv = jax.lax.rsqrt(x * x + y * y + 1e-12)
+        return x * inv, y * inv
+
+    c_min, s_min = unit_dir(min_m)
+    c_max, s_max = unit_dir(max_m)
+    a0 = sc(0) * c_min + sc(3) * s_min
+    a1 = sc(1) * c_min + sc(4) * s_min
+    a2 = sc(2) * c_min + sc(5) * s_min
+    b0 = sc(0) * c_max + sc(3) * s_max
+    b1_ = sc(1) * c_max + sc(4) * s_max
+    b2_ = sc(2) * c_max + sc(5) * s_max
+
+    # H first (larger red OD), then row-normalize (:40-44).
+    a_first = a0 > b0
+    h0 = jnp.where(a_first, a0, b0)
+    h1 = jnp.where(a_first, a1, b1_)
+    h2 = jnp.where(a_first, a2, b2_)
+    e0 = jnp.where(a_first, b0, a0)
+    e1 = jnp.where(a_first, b1_, a1)
+    e2 = jnp.where(a_first, b2_, a2)
+    hn = jax.lax.rsqrt(h0 * h0 + h1 * h1 + h2 * h2 + 1e-12)
+    en = jax.lax.rsqrt(e0 * e0 + e1 * e1 + e2 * e2 + 1e-12)
+    h0, h1, h2 = h0 * hn, h1 * hn, h2 * hn
+    e0, e1, e2 = e0 * en, e1 * en, e2 * en
+
+    # Exact non-negative lasso against the just-built source matrix.
+    g11 = h0 * h0 + h1 * h1 + h2 * h2
+    g22 = e0 * e0 + e1 * e1 + e2 * e2
+    g12 = h0 * e0 + h1 * e1 + h2 * e2
+    det = jnp.maximum(g11 * g22 - g12 * g12, 1e-12)
+    bb1 = od0 * h0 + od1 * h1 + od2 * h2 - lam
+    bb2 = od0 * e0 + od1 * e1 + od2 * e2 - lam
+    c1_full = (g22 * bb1 - g12 * bb2) / det
+    c2_full = (g11 * bb2 - g12 * bb1) / det
+    ok_full = (c1_full >= 0.0) & (c2_full >= 0.0)
+    c1_only = jnp.maximum(bb1, 0.0) / g11
+    ok_1 = (bb1 >= 0.0) & (g12 * c1_only - bb2 >= 0.0)
+    c2_only = jnp.maximum(bb2, 0.0) / g22
+    ok_2 = (bb2 >= 0.0) & (g12 * c2_only - bb1 >= 0.0)
+    c1 = jnp.where(ok_full, c1_full, jnp.where(ok_1, c1_only, 0.0))
+    c2 = jnp.where(ok_full, c2_full, jnp.where(~ok_1 & ok_2, c2_only, 0.0))
+
+    # 99th-pct per stain over ALL pixels (normalizer.py:46-48: the rescale
+    # uses unmasked concentrations).
+    n_all = jnp.float32(n_pixels)
+    max_c1, max_c2 = _multi_masked_percentile([
+        (c1, None, n_all, q_conc, jnp.float32(0.0), jnp.max(c1)),
+        (c2, None, n_all, q_conc, jnp.float32(0.0), jnp.max(c2)),
+    ])
+    scale1 = sc(12) / jnp.maximum(max_c1, 1e-8)
+    scale2 = sc(13) / jnp.maximum(max_c2, 1e-8)
+    c1s = c1 * scale1
+    c2s = c2 * scale2
+
+    for ch in range(3):
+        od_out = c1s * sc(6 + ch) + c2s * sc(9 + ch)
+        val = 255.0 * jnp.exp(-od_out)
+        out_ref[0, ch] = jnp.clip(val, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end API
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("luminosity_threshold", "angular_percentile",
+                     "q_conc", "regularizer", "interpret"),
+)
+def macenko_normalize_planar(
+    rgb_planar,
+    stain_matrix_tgt,
+    max_c_target,
+    luminosity_threshold: float = 0.8,
+    angular_percentile: float = 99.0,
+    q_conc: float = 99.0,
+    regularizer: float = 0.01,
+    interpret: bool = False,
+):
+    """Full Macenko fit+transform over planar (B, 3, R, 128) uint8 tiles."""
+    B, C, R, L = rgb_planar.shape
+    assert C == 3 and L == LANES
+
+    # Kernel A: masked OD moments.
+    stats_plane = pl.pallas_call(
+        functools.partial(_stats_kernel,
+                          luminosity_threshold=luminosity_threshold),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, 3, R, L), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
+        interpret=interpret,
+    )(rgb_planar)
+    stats = stats_plane[:, 0, :_NSTAT]
+
+    # XLA glue: covariance (np.cov N-1 semantics) -> analytic eigh -> V2.
+    n = jnp.maximum(stats[:, 0], 1.0)
+    mean = stats[:, 1:4] / n[:, None]
+    sum_sq = jnp.stack(
+        [
+            jnp.stack([stats[:, 4], stats[:, 5], stats[:, 6]], -1),
+            jnp.stack([stats[:, 5], stats[:, 7], stats[:, 8]], -1),
+            jnp.stack([stats[:, 6], stats[:, 8], stats[:, 9]], -1),
+        ],
+        -2,
+    )  # (B, 3, 3)
+    cov = (sum_sq - n[:, None, None] * mean[:, :, None] * mean[:, None, :])
+    cov = cov / jnp.maximum(n - 1.0, 1.0)[:, None, None]
+    _, V = eigh3x3(cov)
+    V2 = V[..., :, (2, 1)]  # (B, 3, 2)
+    V2 = V2 * jnp.where(V2[..., 0:1, :] < 0.0, -1.0, 1.0)
+
+    tgt = jnp.broadcast_to(
+        jnp.asarray(stain_matrix_tgt, jnp.float32).reshape(-1, 2, 3), (B, 2, 3)
+    ).reshape(B, 6)
+    mct = jnp.broadcast_to(
+        jnp.asarray(max_c_target, jnp.float32).reshape(-1, 2), (B, 2)
+    )
+    scal = jnp.concatenate(
+        [
+            jnp.swapaxes(V2, -1, -2).reshape(B, 6),  # v1 row then v2 row
+            tgt,
+            mct,
+            jnp.full((B, 1), regularizer, jnp.float32),
+            jnp.full((B, 1), luminosity_threshold, jnp.float32),
+        ],
+        axis=1,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, 3, R, L), lambda i, s: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 3, R, L), lambda i, s: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_apply_kernel, q_angle=angular_percentile,
+                          q_conc=q_conc, n_pixels=R * L),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 3, R, L), jnp.uint8),
+        interpret=interpret,
+    )(scal, rgb_planar)
+
+
+def macenko_normalize(rgb, stain_matrix_tgt, max_c_target, **kw):
+    """(B, H, W, 3) uint8 convenience wrapper."""
+    B, H, W, _ = rgb.shape
+    out = macenko_normalize_planar(to_planar(rgb), stain_matrix_tgt,
+                                   max_c_target, **kw)
+    return from_planar(out, H, W)

@@ -51,6 +51,7 @@ class FlowConfig:
     n_clusters: int = 4
     lr: float = 1e-3
     warmup_iters: int = 1000
+    cosine_restart_period: int = 0  # >0: CosineAnnealingWarmRestarts parity
     update_freq: int = 1  # gradient accumulation factor
     grad_clip: float = 1.0
     ema_decay: float = 0.999
@@ -80,11 +81,19 @@ def build_models(cfg: FlowConfig):
 def make_optimizer(cfg: FlowConfig):
     """Adam + warmup + clip + accumulation (``train_img_horo.py:255-259,
     387-414,577-594``)."""
+    if cfg.cosine_restart_period > 0:
+        # Optional CosineAnnealingWarmRestarts parity (train_img_horo.py:389).
+        tail = optax.sgdr_schedule(
+            [
+                dict(init_value=cfg.lr, peak_value=cfg.lr,
+                     decay_steps=cfg.cosine_restart_period,
+                     warmup_steps=0, end_value=0.0)
+            ] * 64
+        )
+    else:
+        tail = optax.constant_schedule(cfg.lr)
     schedule = optax.join_schedules(
-        [
-            optax.linear_schedule(0.0, cfg.lr, cfg.warmup_iters),
-            optax.constant_schedule(cfg.lr),
-        ],
+        [optax.linear_schedule(0.0, cfg.lr, cfg.warmup_iters), tail],
         [cfg.warmup_iters],
     )
     tx = optax.chain(

@@ -1,0 +1,37 @@
+"""Fully-fused Macenko kernel vs the functional jnp path (interpret mode)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from stainlib_tpu.kernels.macenko_fused import macenko_normalize
+from stainlib_tpu.normalization import extractive
+from tests.synth import he_batch, he_patch
+
+
+def test_macenko_fused_matches_functional():
+    target = he_patch(32, 64, seed=90)
+    batch = he_batch(2, 32, 64, seed=91)
+    params = extractive.fit(jnp.asarray(target), method="macenko")
+    want = np.asarray(
+        extractive.transform(params, jnp.asarray(batch), method="macenko")
+    )
+    got = np.asarray(
+        macenko_normalize(
+            jnp.asarray(batch), params.stain_matrix_target,
+            params.max_c_target, interpret=True,
+        )
+    )
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert (diff <= 1).mean() > 0.995, (diff.max(), (diff > 1).mean())
+    assert diff.max() <= 3
+
+
+def test_macenko_fused_deterministic():
+    batch = jnp.asarray(he_batch(2, 32, 64, seed=92))
+    target = he_patch(32, 64, seed=93)
+    params = extractive.fit(jnp.asarray(target), method="macenko")
+    a = np.asarray(macenko_normalize(batch, params.stain_matrix_target,
+                                     params.max_c_target, interpret=True))
+    b = np.asarray(macenko_normalize(batch, params.stain_matrix_target,
+                                     params.max_c_target, interpret=True))
+    assert (a == b).all()
