@@ -21,6 +21,9 @@ import numpy as np
 TILE = 256
 BATCH = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 256
 ITERS = int(sys.argv[sys.argv.index("--iters") + 1]) if "--iters" in sys.argv else 10
+# BASELINE.json configs: 'macenko' (#2, default headline) or 'vahadane' (#4).
+CONFIG = (sys.argv[sys.argv.index("--config") + 1]
+          if "--config" in sys.argv else "macenko")
 
 
 # --------------------------------------------------------------------------
@@ -95,20 +98,46 @@ def _np_lasso(od, M, lam=0.01):
     return np.stack([c1, c2], -1)
 
 
-def cpu_transform(I, M_tgt, maxc_tgt):
-    M_src = _np_macenko(I)
+def _np_vahadane(I, lam=0.1, iters=60):
+    """CPU dictionary learning with the same alternating scheme (the
+    reference's native trainDL role); baseline for config #4."""
+    mask = _np_luminance_mask(I).reshape(-1)
+    od = _np_od(I).reshape(-1, 3)
+    m = mask.astype(np.float64)
+    D = np.array([[0.65, 0.70, 0.29], [0.07, 0.99, 0.11]])
+    D /= np.linalg.norm(D, axis=1, keepdims=True)
+    for _ in range(iters):
+        A = _np_lasso(od, D, lam)
+        Aw = A * m[:, None]
+        C = Aw.T @ A
+        B = Aw.T @ od
+        for _s in range(2):
+            for j in range(2):
+                cjj = max(C[j, j], 1e-8)
+                u = D[j] + (B[j] - C[j] @ D) / cjj
+                u = np.maximum(u, 0)
+                n = np.linalg.norm(u)
+                if u.sum() > 0:
+                    D[j] = u / max(n, 1.0)
+    if D[0, 0] < D[1, 0]:
+        D = D[::-1]
+    return D / np.linalg.norm(D, axis=1, keepdims=True)
+
+
+def cpu_transform(I, M_tgt, maxc_tgt, method="macenko"):
+    M_src = _np_macenko(I) if method == "macenko" else _np_vahadane(I)
     C = _np_lasso(_np_od(I).reshape(-1, 3), M_src)
     maxc_src = np.percentile(C, 99, axis=0)
-    C *= maxc_tgt / maxc_src
+    C = C * (maxc_tgt / maxc_src)
     out = 255.0 * np.exp(-(C @ M_tgt))
     return np.clip(out.reshape(I.shape), 0, 255).astype(np.uint8)
 
 
-def bench_cpu(tiles, M_tgt, maxc_tgt, n=6):
-    cpu_transform(tiles[0], M_tgt, maxc_tgt)  # warm caches
+def bench_cpu(tiles, M_tgt, maxc_tgt, n=6, method="macenko"):
+    cpu_transform(tiles[0], M_tgt, maxc_tgt, method)  # warm caches
     t0 = time.perf_counter()
     for i in range(n):
-        cpu_transform(tiles[i % len(tiles)], M_tgt, maxc_tgt)
+        cpu_transform(tiles[i % len(tiles)], M_tgt, maxc_tgt, method)
     return n / (time.perf_counter() - t0)
 
 
@@ -129,6 +158,7 @@ def main():
     from stainlib_tpu.normalization import extractive
     from stainlib_tpu.kernels import fused_stain
     from stainlib_tpu.kernels.macenko_fused import macenko_normalize_planar
+    from stainlib_tpu.kernels.vahadane_fused import vahadane_normalize_planar
 
     dev = jax.devices()[0]
     on_tpu = dev.platform != "cpu"
@@ -137,7 +167,8 @@ def main():
     target = make_tiles(1, seed=99)[0]
 
     params = jax.tree.map(
-        jax.block_until_ready, extractive.fit(jnp.asarray(target), method="macenko")
+        jax.block_until_ready,
+        extractive.fit(jnp.asarray(target), method=CONFIG),
     )
     M_tgt = np.asarray(params.stain_matrix_target, np.float64)
     maxc_tgt = np.asarray(params.max_c_target, np.float64)
@@ -146,7 +177,12 @@ def main():
 
     def step_full_fused(x):
         # Everything (estimation + lasso + percentiles + reconstruction) in
-        # two Pallas kernels; see kernels/macenko_fused.py.
+        # two/three Pallas kernels; see kernels/{macenko,vahadane}_fused.py.
+        if CONFIG == "vahadane":
+            return vahadane_normalize_planar(
+                x, params.stain_matrix_target, params.max_c_target,
+                interpret=not on_tpu,
+            )
         return macenko_normalize_planar(
             x, params.stain_matrix_target, params.max_c_target,
             interpret=not on_tpu,
@@ -163,7 +199,7 @@ def main():
 
     def step_functional(x):
         return extractive.transform(
-            params, fused_stain.from_planar(x, TILE, TILE), method="macenko"
+            params, fused_stain.from_planar(x, TILE, TILE), method=CONFIG
         )
 
     step = None
@@ -189,12 +225,12 @@ def main():
     p50 = float(np.median(times))
     tps = BATCH / p50
 
-    cpu_tps = bench_cpu(tiles, M_tgt, maxc_tgt)
+    cpu_tps = bench_cpu(tiles, M_tgt, maxc_tgt, method=CONFIG)
 
     print(
         json.dumps(
             {
-                "metric": f"macenko_norm_{TILE}x{TILE}_tiles_per_sec_per_chip[{path}]",
+                "metric": f"{CONFIG}_norm_{TILE}x{TILE}_tiles_per_sec_per_chip[{path}]",
                 "value": round(tps, 2),
                 "unit": "tiles/s",
                 "vs_baseline": round(tps / cpu_tps, 2),

@@ -1,0 +1,199 @@
+"""Fused Vahadane stain estimation: dictionary learning in VMEM.
+
+Replaces the hottest native path of the reference — ``spams.trainDL`` over
+all tissue pixels per image (``vahadane_stain_extractor.py:35-36``) — with a
+Pallas kernel that keeps the tile's OD field and tissue mask resident in
+VMEM and runs the full fixed-iteration alternating minimization there:
+each iteration solves the exact closed-form non-negative lasso for every
+pixel and updates the two stain rows by block coordinate descent from
+responsibility-weighted sufficient statistics (the same math as
+:mod:`stainlib_tpu.ops.dictlearn`, scalarized). One uint8 read per tile,
+a 2x3 matrix out; the iteration loop never touches HBM.
+
+``vahadane_normalize_planar`` chains this with the fused apply kernel of
+:mod:`stainlib_tpu.kernels.fused_stain` for the complete
+``ExtractiveStainNormalizer('vahadane')`` transform.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stainlib_tpu.kernels.fused_stain import (
+    from_planar,
+    fused_normalize_planar,
+    to_planar,
+)
+from stainlib_tpu.kernels.macenko_fused import _od_and_mask
+
+LANES = 128
+
+# Ruifrok-Johnston H&E prior, row-normalized — the deterministic start of
+# ops/dictlearn.py (bitwise-stable results).
+_INIT = (0.6442, 0.6938, 0.2875, 0.0700, 0.9900, 0.1100)
+
+
+def _dict_kernel(rgb_ref, out_ref, *, regularizer: float, num_iters: int,
+                 luminosity_threshold: float):
+    od0, od1, od2, mask = _od_and_mask(rgb_ref[0], luminosity_threshold)
+    m = mask.astype(jnp.float32)
+
+    h_n = jnp.sqrt(_INIT[0] ** 2 + _INIT[1] ** 2 + _INIT[2] ** 2)
+    e_n = jnp.sqrt(_INIT[3] ** 2 + _INIT[4] ** 2 + _INIT[5] ** 2)
+    d_init = (
+        jnp.float32(_INIT[0] / h_n), jnp.float32(_INIT[1] / h_n),
+        jnp.float32(_INIT[2] / h_n), jnp.float32(_INIT[3] / e_n),
+        jnp.float32(_INIT[4] / e_n), jnp.float32(_INIT[5] / e_n),
+    )
+
+    def body(_, D):
+        d00, d01, d02, d10, d11, d12 = D
+        # Exact non-negative lasso for every pixel under the current rows.
+        g11 = d00 * d00 + d01 * d01 + d02 * d02
+        g22 = d10 * d10 + d11 * d11 + d12 * d12
+        g12 = d00 * d10 + d01 * d11 + d02 * d12
+        det = jnp.maximum(g11 * g22 - g12 * g12, 1e-12)
+        b1 = od0 * d00 + od1 * d01 + od2 * d02 - regularizer
+        b2 = od0 * d10 + od1 * d11 + od2 * d12 - regularizer
+        c1f = (g22 * b1 - g12 * b2) / det
+        c2f = (g11 * b2 - g12 * b1) / det
+        okf = (c1f >= 0.0) & (c2f >= 0.0)
+        c1o = jnp.maximum(b1, 0.0) / g11
+        ok1 = (b1 >= 0.0) & (g12 * c1o - b2 >= 0.0)
+        c2o = jnp.maximum(b2, 0.0) / g22
+        ok2 = (b2 >= 0.0) & (g12 * c2o - b1 >= 0.0)
+        a1 = jnp.where(okf, c1f, jnp.where(ok1, c1o, 0.0))
+        a2 = jnp.where(okf, c2f, jnp.where(~ok1 & ok2, c2o, 0.0))
+
+        # Masked sufficient statistics: C = A^T W A, B = A^T W X.
+        a1m = a1 * m
+        a2m = a2 * m
+        c11 = jnp.sum(a1m * a1)
+        c12 = jnp.sum(a1m * a2)
+        c22 = jnp.sum(a2m * a2)
+        b10 = jnp.sum(a1m * od0)
+        b11_ = jnp.sum(a1m * od1)
+        b12_ = jnp.sum(a1m * od2)
+        b20 = jnp.sum(a2m * od0)
+        b21 = jnp.sum(a2m * od1)
+        b22_ = jnp.sum(a2m * od2)
+
+        # Two BCD sweeps over the two rows (ops/dictlearn.py update_row):
+        # u_j = d_j + (B_j - C_j. D) / C_jj; clamp >= 0; unit-ball project.
+        def update(d00, d01, d02, d10, d11, d12):
+            cjj = jnp.maximum(c11, 1e-8)
+            u0 = d00 + (b10 - (c11 * d00 + c12 * d10)) / cjj
+            u1 = d01 + (b11_ - (c11 * d01 + c12 * d11)) / cjj
+            u2 = d02 + (b12_ - (c11 * d02 + c12 * d12)) / cjj
+            u0, u1, u2 = (jnp.maximum(u0, 0.0), jnp.maximum(u1, 0.0),
+                          jnp.maximum(u2, 0.0))
+            norm = jnp.sqrt(u0 * u0 + u1 * u1 + u2 * u2)
+            s = 1.0 / jnp.maximum(norm, 1.0)
+            dead = (u0 + u1 + u2) <= 0.0
+            d00 = jnp.where(dead, d00, u0 * s)
+            d01 = jnp.where(dead, d01, u1 * s)
+            d02 = jnp.where(dead, d02, u2 * s)
+
+            cjj = jnp.maximum(c22, 1e-8)
+            v0 = d10 + (b20 - (c12 * d00 + c22 * d10)) / cjj
+            v1 = d11 + (b21 - (c12 * d01 + c22 * d11)) / cjj
+            v2 = d12 + (b22_ - (c12 * d02 + c22 * d12)) / cjj
+            v0, v1, v2 = (jnp.maximum(v0, 0.0), jnp.maximum(v1, 0.0),
+                          jnp.maximum(v2, 0.0))
+            norm = jnp.sqrt(v0 * v0 + v1 * v1 + v2 * v2)
+            s = 1.0 / jnp.maximum(norm, 1.0)
+            dead = (v0 + v1 + v2) <= 0.0
+            d10 = jnp.where(dead, d10, v0 * s)
+            d11 = jnp.where(dead, d11, v1 * s)
+            d12 = jnp.where(dead, d12, v2 * s)
+            return d00, d01, d02, d10, d11, d12
+
+        D = update(d00, d01, d02, d10, d11, d12)
+        D = update(*D)
+        return D
+
+    D = jax.lax.fori_loop(0, num_iters, body, d_init)
+    d00, d01, d02, d10, d11, d12 = D
+
+    # Stats-plane output (see macenko_fused kernel A for the layout note):
+    # row 0 lanes 0..6 = [d00..d12, n_valid].
+    vals = [d00, d01, d02, d10, d11, d12, jnp.sum(m)]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    acc = jnp.zeros((8, 128), jnp.float32)
+    for k, v in enumerate(vals):
+        acc = acc + jnp.where((row == 0) & (lane == k), v, 0.0)
+    out_ref[0] = acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("regularizer", "num_iters", "luminosity_threshold",
+                     "interpret"),
+)
+def vahadane_stain_matrix_planar(
+    rgb_planar,
+    regularizer: float = 0.1,
+    num_iters: int = 60,
+    luminosity_threshold: float = 0.8,
+    interpret: bool = False,
+):
+    """Per-tile 2x3 Vahadane stain matrices from planar uint8 tiles.
+
+    H-first ordering + final row normalization (``vahadane_stain_extractor.
+    py:40-43``) happen in XLA on the (B, 2, 3) output; empty-mask tiles
+    yield NaNs like the functional path.
+    """
+    B, C, R, L = rgb_planar.shape
+    assert C == 3 and L == LANES
+    plane = pl.pallas_call(
+        functools.partial(
+            _dict_kernel, regularizer=regularizer, num_iters=num_iters,
+            luminosity_threshold=luminosity_threshold,
+        ),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, 3, R, L), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
+        interpret=interpret,
+    )(rgb_planar)
+    D = plane[:, 0, :6].reshape(B, 2, 3)
+    n_valid = plane[:, 0, 6]
+
+    swap = D[:, 0, 0] < D[:, 1, 0]
+    row0 = jnp.where(swap[:, None], D[:, 1], D[:, 0])
+    row1 = jnp.where(swap[:, None], D[:, 0], D[:, 1])
+    D = jnp.stack([row0, row1], axis=1)
+    D = D / jnp.maximum(jnp.linalg.norm(D, axis=-1, keepdims=True), 1e-12)
+    return jnp.where((n_valid > 0)[:, None, None], D, jnp.nan)
+
+
+def vahadane_normalize_planar(rgb_planar, stain_matrix_tgt, max_c_target,
+                              regularizer_fit: float = 0.1,
+                              regularizer: float = 0.01,
+                              num_iters: int = 60,
+                              interpret: bool = False):
+    """Full Vahadane fit+transform: dictionary kernel + fused apply kernel."""
+    M_src = vahadane_stain_matrix_planar(
+        rgb_planar, regularizer=regularizer_fit, num_iters=num_iters,
+        interpret=interpret,
+    )
+    return fused_normalize_planar(
+        rgb_planar, M_src, stain_matrix_tgt, max_c_target,
+        regularizer=regularizer, interpret=interpret,
+    )
+
+
+def vahadane_normalize(rgb, stain_matrix_tgt, max_c_target, **kw):
+    """(B, H, W, 3) uint8 convenience wrapper."""
+    B, H, W, _ = rgb.shape
+    out = vahadane_normalize_planar(to_planar(rgb), stain_matrix_tgt,
+                                    max_c_target, **kw)
+    return from_planar(out, H, W)

@@ -240,6 +240,31 @@ def make_train_step(model: DannCNN, tx):
     return jax.jit(functools.partial(dann_train_step, model, tx))
 
 
+def reinit_layers(params, layer_names, key, scale: float = 0.05):
+    """Re-initialize the parameters of named top-level layers.
+
+    Parity with ``reset_weights`` (``utils/keras_utils.py:254-258``), which
+    re-runs initializers on chosen Keras layers; here kernels redraw from a
+    truncated normal and biases zero, keyed explicitly."""
+    import numpy as np
+
+    flat = dict(params)
+    for i, name in enumerate(layer_names):
+        if name not in flat:
+            continue
+        sub = dict(flat[name])
+        for j, (k, v) in enumerate(sorted(sub.items())):
+            if k.startswith("bias"):
+                sub[k] = jnp.zeros_like(v)
+            else:
+                sub[k] = scale * jax.random.truncated_normal(
+                    jax.random.fold_in(key, i * 131 + j), -2.0, 2.0,
+                    v.shape, v.dtype,
+                )
+        flat[name] = sub
+    return flat
+
+
 PHASE_MITOSIS = (1.0, 0.0, 0.0)
 PHASE_DOMAIN = (0.0, 1.0, -1.0)
 PHASE_ADVERSARIAL = (1.0, 1.0, 1.0)

@@ -61,6 +61,21 @@ def evaluate_test(predict_fn, images, labels, threshold: float,
     return roc_auc(labels, scores), macro_f1(labels, scores >= threshold)
 
 
+def evaluate_pos_neg(predict_fn, pos_images, neg_images, threshold: float,
+                     batch_size: int = 64):
+    """Separate positive/negative test directories, the TMA/TCGA evaluation
+    contract (``evaluation_utils.py:115-217``): score both sets, report
+    (auc, macro_f1, false_positive_rate_at_threshold)."""
+    import numpy as np
+
+    s_pos = predict_scores(predict_fn, pos_images, batch_size)
+    s_neg = predict_scores(predict_fn, neg_images, batch_size)
+    labels = np.concatenate([np.ones(len(s_pos)), np.zeros(len(s_neg))])
+    scores = np.concatenate([s_pos, s_neg])
+    fpr = float((s_neg >= threshold).mean()) if len(s_neg) else 0.0
+    return roc_auc(labels, scores), macro_f1(labels, scores >= threshold), fpr
+
+
 def predict_scores(predict_fn, images, batch_size: int = 256):
     """Batched positive-class scores with a padded final batch (static
     shapes: the device sees one batch shape only)."""

@@ -1,0 +1,47 @@
+"""Fused Vahadane kernel vs the functional dictionary learner."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from stainlib_tpu.extraction.vahadane import stain_matrix_vahadane
+from stainlib_tpu.kernels.fused_stain import to_planar
+from stainlib_tpu.kernels.vahadane_fused import (
+    vahadane_normalize,
+    vahadane_stain_matrix_planar,
+)
+from stainlib_tpu.normalization import extractive
+from tests.synth import he_batch, he_patch
+
+
+def test_fused_vahadane_matrix_matches_functional():
+    batch = he_batch(2, 32, 64, seed=95)
+    want = np.asarray(stain_matrix_vahadane(jnp.asarray(batch)))
+    got = np.asarray(
+        vahadane_stain_matrix_planar(to_planar(jnp.asarray(batch)),
+                                     interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-3)
+    np.testing.assert_allclose(np.linalg.norm(got, axis=-1), 1.0, atol=1e-5)
+
+
+def test_fused_vahadane_normalize_end_to_end():
+    target = he_patch(32, 64, seed=96)
+    batch = he_batch(2, 32, 64, seed=97)
+    params = extractive.fit(jnp.asarray(target), method="vahadane")
+    want = np.asarray(
+        extractive.transform(params, jnp.asarray(batch), method="vahadane")
+    )
+    got = np.asarray(
+        vahadane_normalize(jnp.asarray(batch), params.stain_matrix_target,
+                           params.max_c_target, interpret=True)
+    )
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert (diff <= 1).mean() > 0.99, (diff.max(), (diff > 1).mean())
+    assert diff.max() <= 4
+
+
+def test_fused_vahadane_empty_mask_nan():
+    white = jnp.asarray(np.full((1, 32, 128, 3), 255, np.uint8))
+    M = np.asarray(vahadane_stain_matrix_planar(to_planar(white),
+                                                interpret=True))
+    assert np.isnan(M).all()
