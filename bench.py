@@ -146,7 +146,71 @@ def bench_cpu(tiles, M_tgt, maxc_tgt, n=6, method="macenko"):
 # --------------------------------------------------------------------------
 
 
+def bench_streaming():
+    """BASELINE config #5: the streaming WSI pipeline end to end — native
+    tile sampling off synthetic WSIRAW slides, C++ HWC->planar pack, a
+    double-buffered device prefetcher, and the fused Macenko kernels — with
+    the HOST in the loop (this measures the whole system, not the chip)."""
+    import tempfile
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from stainlib_tpu.data import native
+    from stainlib_tpu.data.pipeline import DevicePrefetcher
+    from stainlib_tpu.data.preprocessing import array_to_wsiraw
+    from stainlib_tpu.data.wsi import SamplerConfig, WsiSampler
+    from stainlib_tpu.kernels.macenko_fused import macenko_normalize_planar
+    from stainlib_tpu.normalization import extractive
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    tmp = tempfile.mkdtemp(prefix="bench_wsi_")
+    # Two synthetic slides, ~2k x 2k, tissue everywhere except a border.
+    for i in range(2):
+        lv0 = np.full((2048, 2048, 3), 255, np.uint8)
+        lv0[128:-128, 128:-128] = make_tiles(1, 1792, 1792, seed=i)[0]
+        array_to_wsiraw(f"{tmp}/slide_{i}.wsr", lv0, n_levels=3)
+
+    params = jax.tree.map(
+        jax.block_until_ready,
+        extractive.fit(jnp.asarray(make_tiles(1, seed=99)[0]),
+                       method="macenko"),
+    )
+    cfg = SamplerConfig(tile=TILE, batch_size=64, batch_tumor_ratio=0.0,
+                        stddev_min=5.0)
+    sampler = WsiSampler(f"{tmp}/*.wsr", (), cfg, worker=0, num_workers=1)
+
+    n_batches = max(ITERS, 4)
+    host = (t for t, _ in sampler.train_batches(num_batches=n_batches + 1))
+    feed = DevicePrefetcher(host, depth=2, transform=native.pack_planar)
+
+    run = jax.jit(lambda x: macenko_normalize_planar(
+        x, params.stain_matrix_target, params.max_c_target,
+        interpret=not on_tpu))
+    run(next(feed)).block_until_ready()  # compile outside the timed region
+    t0 = time.perf_counter()
+    count = 0
+    for x in feed:
+        run(x).block_until_ready()
+        count += x.shape[0]
+    elapsed = time.perf_counter() - t0
+    tps = count / elapsed
+
+    cpu_tps = bench_cpu(make_tiles(4), np.asarray(params.stain_matrix_target),
+                        np.asarray(params.max_c_target), n=4)
+    print(json.dumps({
+        "metric": f"streaming_wsi_norm_{TILE}x{TILE}_tiles_per_sec_per_chip",
+        "value": round(tps, 2),
+        "unit": "tiles/s",
+        "vs_baseline": round(tps / cpu_tps, 2),
+    }))
+
+
 def main():
+    if CONFIG == "streaming":
+        return bench_streaming()
     import jax
 
     # Remote TPU compiles are slow; persist them across runs.

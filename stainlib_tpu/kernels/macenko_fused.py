@@ -66,7 +66,7 @@ def _od_and_mask(rgb_u8, luminosity_threshold):
     return od(c0), od(c1), od(c2), mask
 
 
-def _multi_masked_percentile(searches, n_iters=32):
+def _multi_masked_percentile(searches, n_iters=26):
     """Several np.percentile(values[mask], q) computations fused into ONE
     bisection loop: every iteration evaluates all order-stat counts in a
     single traversal of the operands, so the pass count is n_iters instead of

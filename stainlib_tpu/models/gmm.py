@@ -34,9 +34,14 @@ class ConvGMM(nn.Module):
         conditioning image (HSD chroma in the reference pipeline).
 
         Returns (logpz (B,), (mu, sigma, gamma)) with
-        mu/sigma shaped (n_clusters, Cz) and gamma (B, H, W, n_clusters).
+        mu/sigma shaped (n_clusters, Cz) and gamma at the LATENT grid
+        (B, Hz, Wz, n_clusters). Conditioning at a finer resolution than the
+        (multi-scale squeezed) latent is average-pooled down to match.
         """
         h = x_cond
+        factor = x_cond.shape[1] // z.shape[1]
+        if factor > 1:
+            h = nn.avg_pool(h, (factor, factor), strides=(factor, factor))
         for i in range(self.n_layers - 1):
             h = nn.Conv(self.hidden, (3, 3), padding="SAME")(h)
             h = nn.relu(h)
@@ -67,6 +72,18 @@ class ConvGMM(nn.Module):
         )  # (B, H, W)
         logpz = jnp.sum(log_mix, axis=(-2, -1))  # (B,)
         return logpz, (mu, sigma, gamma)
+
+
+def upsample_gamma(gamma, h: int, w: int):
+    """Nearest-neighbor upsample of latent-grid responsibilities back to the
+    image grid (for per-pixel color statistics / recoloring)."""
+    fh = h // gamma.shape[1]
+    fw = w // gamma.shape[2]
+    if fh > 1:
+        gamma = jnp.repeat(gamma, fh, axis=1)
+    if fw > 1:
+        gamma = jnp.repeat(gamma, fw, axis=2)
+    return gamma
 
 
 def bits_per_dim(logpz, delta_logp, image_shape, nvals: int = 256,

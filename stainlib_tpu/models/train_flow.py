@@ -205,7 +205,11 @@ def make_train_step(flow, gmm, cfg: FlowConfig, tx,
 
 
 def encode(flow, gmm, params, spectral, cfg: FlowConfig, hsd, key):
-    """Eval-mode pass returning (bpd, z, gamma) for deployment/validation."""
+    """Eval-mode pass returning (bpd, z, gamma) for deployment/validation.
+    gamma is upsampled back to the image grid so color statistics and
+    recoloring stay per-pixel regardless of the flow's scale count."""
+    from stainlib_tpu.models.gmm import upsample_gamma
+
     d01 = jnp.clip(hsd[..., 2:3] / 4.0, 1e-4, 1.0 - 1e-4)
     z, delta_logp = flow.apply({"params": params["flow"],
                                 "spectral": spectral}, d01, key)
@@ -213,4 +217,5 @@ def encode(flow, gmm, params, spectral, cfg: FlowConfig, hsd, key):
                                           hsd[..., :2])
     bpd = bits_per_dim(logpz, delta_logp,
                        (cfg.image_size, cfg.image_size, 1), cfg.nvals)
+    gamma = upsample_gamma(gamma, cfg.image_size, cfg.image_size)
     return bpd, z, gamma

@@ -102,6 +102,24 @@ def test_encode_and_template_transfer_pipeline():
     assert diff.max() <= 1
 
 
+def test_multiscale_flow_trains_and_encodes():
+    """Regression: n_scales=2 squeezes the latent grid below the image grid;
+    the GMM must pool its conditioning and encode() must upsample gamma."""
+    cfg = FlowConfig(image_size=16, n_scales=2, blocks_per_scale=1, hidden=8,
+                     n_power_series=2, n_clusters=3, lr=1e-3, warmup_iters=2)
+    batch = _hsd_batch(4, seed=9)
+    flow, gmm, state, tx = init_flow_state(cfg, KEY, sample_hsd=batch)
+    step = make_train_step(flow, gmm, cfg, tx)
+    state, loss = step(state, batch)
+    assert np.isfinite(float(loss))
+    bpd, z, gamma = encode(flow, gmm, state.params, state.spectral, cfg,
+                           batch, KEY)
+    assert z.shape == (4, 8, 8, 4)  # squeezed latent
+    assert gamma.shape == (4, 16, 16, 3)  # upsampled back to the image grid
+    mu, sd = color_eval.class_color_stats(batch, gamma)
+    assert mu.shape == (3, 3)
+
+
 def test_nmi_metrics():
     rng = np.random.default_rng(0)
     img = rng.integers(100, 200, (32, 32, 3)).astype(np.uint8)
