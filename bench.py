@@ -184,10 +184,14 @@ def bench_streaming():
 
     n_batches = max(ITERS, 4)
     host = (t for t, _ in sampler.train_batches(num_batches=n_batches + 1))
-    feed = DevicePrefetcher(host, depth=2, transform=native.pack_planar)
+    # Planar repack happens ON DEVICE (one cheap transpose) — on few-core
+    # hosts that beats native.pack_planar and keeps the host free to sample.
+    feed = DevicePrefetcher(host, depth=2)
+
+    from stainlib_tpu.kernels.fused_stain import to_planar
 
     run = jax.jit(lambda x: macenko_normalize_planar(
-        x, params.stain_matrix_target, params.max_c_target,
+        to_planar(x), params.stain_matrix_target, params.max_c_target,
         interpret=not on_tpu))
     run(next(feed)).block_until_ready()  # compile outside the timed region
     t0 = time.perf_counter()

@@ -226,19 +226,44 @@ int tr_sample_tiles(void* handle, int level, int tile, int n, uint64_t seed,
         int my = std::min<int>(int(y * mask_scale), mask_h - 1);
         if (!mask[my * mask_w + mx]) continue;
       }
-      tr_read_region(handle, level, x, y, tile, tile, buf);
-      // Mean + stddev over all bytes (matches numpy .std() on the patch).
-      double sum = 0, sq = 0;
-      int64_t count = int64_t(tile) * tile * 3;
-      for (int64_t k = 0; k < count; ++k) {
-        double v = buf[k];
-        sum += v;
-        sq += v * v;
+      // Cheap accept/reject FIRST on a strided subsample straight from the
+      // mmap'd plane (16x fewer bytes than the full tile); only accepted
+      // tiles pay the full region copy. The subsampled mean/std is
+      // statistically equivalent for the white/uniform rejection rule.
+      {
+        const Level& lv2 = s->levels[level];
+        const uint8_t* plane = s->base + lv2.offset;
+        double sum = 0, sq = 0;
+        int64_t count = 0;
+        for (int64_t r = 0; r < tile; r += 4) {
+          const uint8_t* row = plane + ((y + r) * int64_t(lv2.width) + x) * 3;
+          for (int64_t c = 0; c < tile * 3; c += 10) {  // stride!=3k cycles channels
+            double v = row[c];
+            sum += v;
+            sq += v * v;
+            ++count;
+          }
+        }
+        double mean = sum / count;
+        double var = sq / count - mean * mean;
+        if (mean > white_mean_max) continue;
+        if (var < stddev_min * stddev_min) continue;
       }
-      double mean = sum / count;
-      double var = sq / count - mean * mean;
-      if (mean > white_mean_max) continue;
-      if (var < stddev_min * stddev_min) continue;
+      tr_read_region(handle, level, x, y, tile, tile, buf);
+      // Exact stats on the (now cache-hot) copied tile: the subsample is a
+      // pre-filter; acceptance always satisfies the exact thresholds.
+      {
+        double sum = 0, sq = 0;
+        int64_t count = int64_t(tile) * tile * 3;
+        for (int64_t k = 0; k < count; ++k) {
+          double v = buf[k];
+          sum += v;
+          sq += v * v;
+        }
+        double mean = sum / count;
+        double var = sq / count - mean * mean;
+        if (mean > white_mean_max || var < stddev_min * stddev_min) continue;
+      }
       coords[i * 2] = x;
       coords[i * 2 + 1] = y;
       accepted.fetch_add(1);

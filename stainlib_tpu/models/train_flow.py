@@ -56,6 +56,7 @@ class FlowConfig:
     grad_clip: float = 1.0
     ema_decay: float = 0.999
     nvals: int = 256
+    remat: bool = False  # rematerialize the flow forward in the backward pass
 
 
 class FlowState(NamedTuple):
@@ -145,9 +146,16 @@ def hsd_loss_fn(flow, gmm, cfg: FlowConfig, params, spectral, hsd, key):
     d = hsd[..., 2:3]  # density channel in [0, ~inf); squash to (0,1)
     d01 = jnp.clip(d / 4.0, 1e-4, 1.0 - 1e-4)
     cond = hsd[..., :2]
-    z, delta_logp = flow.apply(
-        {"params": params["flow"], "spectral": spectral}, d01, key
-    )
+
+    def flow_fwd(p, x):
+        return flow.apply({"params": p, "spectral": spectral}, x, key)
+
+    if cfg.remat:
+        # Trade FLOPs for HBM: recompute flow activations in the backward
+        # pass (the memory-efficient-backprop role of the reference's
+        # --mem-eff flags, train_img_horo.py:91-98, via jax.checkpoint).
+        flow_fwd = jax.checkpoint(flow_fwd)
+    z, delta_logp = flow_fwd(params["flow"], d01)
     logpz, aux = gmm.apply({"params": params["gmm"]}, z, cond)
     bpd = bits_per_dim(
         logpz, delta_logp, (cfg.image_size, cfg.image_size, 1), cfg.nvals

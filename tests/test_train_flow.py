@@ -120,6 +120,28 @@ def test_multiscale_flow_trains_and_encodes():
     assert mu.shape == (3, 3)
 
 
+def test_remat_matches_plain():
+    cfg_r = FlowConfig(image_size=16, n_scales=1, blocks_per_scale=1,
+                       hidden=8, n_power_series=2, n_clusters=3, lr=1e-3,
+                       warmup_iters=2, remat=True)
+    batch = _hsd_batch(4, seed=11)
+    flow, gmm, state, tx = init_flow_state(cfg_r, KEY, sample_hsd=batch)
+    step_r = make_train_step(flow, gmm, cfg_r, tx)
+    s_r, loss_r = step_r(state, batch)
+
+    import dataclasses
+
+    cfg_p = dataclasses.replace(cfg_r, remat=False)
+    step_p = make_train_step(flow, gmm, cfg_p, tx)
+    s_p, loss_p = step_p(state, batch)
+    # Rematerialization changes memory, not math.
+    np.testing.assert_allclose(float(loss_r), float(loss_p), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(s_r.params)[0]),
+        np.asarray(jax.tree.leaves(s_p.params)[0]), atol=1e-6,
+    )
+
+
 def test_nmi_metrics():
     rng = np.random.default_rng(0)
     img = rng.integers(100, 200, (32, 32, 3)).astype(np.uint8)
