@@ -21,7 +21,8 @@ import numpy as np
 TILE = 256
 BATCH = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 256
 ITERS = int(sys.argv[sys.argv.index("--iters") + 1]) if "--iters" in sys.argv else 10
-# BASELINE.json configs: 'macenko' (#2, default headline) or 'vahadane' (#4).
+# BASELINE.json configs: 'macenko' (#2, default headline), 'vahadane' (#4),
+# 'reinhard' (#1), or 'streaming' (#5).
 CONFIG = (sys.argv[sys.argv.index("--config") + 1]
           if "--config" in sys.argv else "macenko")
 
@@ -212,9 +213,76 @@ def bench_streaming():
     }))
 
 
+def bench_reinhard():
+    """BASELINE config #1: batched Reinhard LAB transfer."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from stainlib_tpu.normalization import reinhard
+    from stainlib_tpu.kernels.fused_stain import to_planar
+    from stainlib_tpu.kernels.reinhard_fused import reinhard_normalize_planar
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    tiles = make_tiles(BATCH)
+    target = make_tiles(1, seed=99)[0]
+    params = jax.tree.map(jax.block_until_ready,
+                          reinhard.fit(jnp.asarray(target)))
+    dev_tiles = jax.device_put(np.asarray(to_planar(jnp.asarray(tiles))))
+    run = jax.jit(lambda x: reinhard_normalize_planar(
+        x, params.means, params.stds, interpret=not on_tpu))
+    run(dev_tiles).block_until_ready()
+    times = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        run(dev_tiles).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    tps = BATCH / float(np.median(times))
+
+    # CPU baseline: the same formulas in numpy (reference uses OpenCV LUTs).
+    def np_lab(I):
+        c = I.astype(np.float64) / 255.0
+        lin = np.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+        M = np.array([[0.412453, 0.357580, 0.180423],
+                      [0.212671, 0.715160, 0.072169],
+                      [0.019334, 0.119193, 0.950227]])
+        xyz = lin @ M.T / np.array([0.950456, 1.0, 1.088754])
+        f = np.where(xyz > 0.008856, np.cbrt(xyz), 7.787 * xyz + 16 / 116)
+        L = np.where(xyz[..., 1] > 0.008856,
+                     116 * np.cbrt(xyz[..., 1]) - 16, 903.3 * xyz[..., 1])
+        return np.stack([L, 500 * (f[..., 0] - f[..., 1]),
+                         200 * (f[..., 1] - f[..., 2])], -1)
+
+    t_lab = np_lab(target)
+    t_mu, t_sd = t_lab.mean((0, 1)), t_lab.std((0, 1))
+
+    def cpu_one(I):
+        p = np.percentile(I, 90)
+        I = np.clip(I * 255.0 / p, 0, 255)
+        lab = np_lab(I.astype(np.uint8))
+        mu, sd = lab.mean((0, 1)), lab.std((0, 1))
+        return (lab - mu) * (t_sd / sd) + t_mu  # inverse LAB omitted: lower
+        # bound on CPU cost -> vs_baseline is conservative.
+
+    cpu_one(tiles[0])
+    t0 = time.perf_counter()
+    for i in range(6):
+        cpu_one(tiles[i % len(tiles)])
+    cpu_tps = 6 / (time.perf_counter() - t0)
+    print(json.dumps({
+        "metric": f"reinhard_norm_{TILE}x{TILE}_tiles_per_sec_per_chip",
+        "value": round(tps, 2),
+        "unit": "tiles/s",
+        "vs_baseline": round(tps / cpu_tps, 2),
+    }))
+
+
 def main():
     if CONFIG == "streaming":
         return bench_streaming()
+    if CONFIG == "reinhard":
+        return bench_reinhard()
     import jax
 
     # Remote TPU compiles are slow; persist them across runs.

@@ -168,6 +168,23 @@ class WsiSampler:
         w0, _ = slide.level_size(0)
         return rasterize_polygons(polys, h, w, scale=w / w0)
 
+    def tissue_regions(self, slide_index: int = 0):
+        """Connected tissue regions as level-0 bounding boxes (x, y, w, h) —
+        the ``findContours``-based ``get_bb`` output of ``data_utils.py:1``,
+        via connected-component labeling on the morphology mask."""
+        from scipy import ndimage
+
+        mask, scale = self._masks[slide_index]
+        labels, n = ndimage.label(mask)
+        boxes = []
+        for sl_y, sl_x in ndimage.find_objects(labels):
+            x0 = int(sl_x.start / scale)
+            y0 = int(sl_y.start / scale)
+            w = int((sl_x.stop - sl_x.start) / scale)
+            h = int((sl_y.stop - sl_y.start) / scale)
+            boxes.append((x0, y0, w, h))
+        return boxes
+
     # -- training stream ---------------------------------------------------
 
     def train_batches(self, num_batches: Optional[int] = None) -> Iterator:

@@ -107,3 +107,15 @@ def test_device_prefetcher_propagates_errors():
     with pytest.raises(ValueError):
         for _ in it:
             pass
+
+
+def test_tissue_regions_bboxes(slide_dir):
+    cfg = SamplerConfig(tile=32, batch_size=4)
+    sampler = WsiSampler(str(slide_dir / "*.wsr"), (), cfg, worker=0,
+                         num_workers=1)
+    boxes = sampler.tissue_regions(0)
+    assert boxes, "one tissue region expected"
+    x, y, w, h = max(boxes, key=lambda b: b[2] * b[3])
+    # The tissue block lives at [32:224)x[32:224) of a 256x256 slide.
+    assert 0 <= x <= 64 and 0 <= y <= 64
+    assert 100 <= w <= 256 and 100 <= h <= 256
