@@ -41,24 +41,37 @@ LANES = 128
 # ---------------------------------------------------------------------------
 
 
+# Degree-6 least-squares fit of ((c+0.055)/1.055)^2.4 on [0.04045, 1]
+# (max error 7.4e-6). The linearized luminance feeds ONLY the mask compare,
+# so this replaces six transcendentals per pixel at zero practical cost:
+# a pixel would have to sit within ~1e-5 of the threshold to flip.
+_GAMMA_POLY = (-0.05115230334698914, 0.21590615421296977,
+               -0.42192917575406075, 0.7100481714823516,
+               0.5132544912131414, 0.0329489372192066,
+               0.0009197550259854287)
+
+
 def _od_and_mask(rgb_u8, luminosity_threshold):
     """uint8 (3, R, L) -> (od0, od1, od2, mask). Mask reproduces the LAB
-    L/100 < thresh rule (``stain_utils.py:29-48``) with the same sRGB gamma
-    + CIE L* math as ops.colorspace.lab_luminance."""
+    L/100 < thresh rule (``stain_utils.py:29-48``): since L* is monotone in
+    linear luminance Y, the threshold is applied directly in Y space (no
+    cbrt), with the sRGB gamma evaluated by polynomial (no exp/log)."""
     rgb = rgb_u8.astype(jnp.int32).astype(jnp.float32)
     c0, c1, c2 = rgb[0] / 255.0, rgb[1] / 255.0, rgb[2] / 255.0
 
     def lin(c):
-        return jnp.where(
-            c <= 0.04045, c / 12.92, jnp.exp(2.4 * jnp.log((c + 0.055) / 1.055))
-        )
+        acc = jnp.float32(_GAMMA_POLY[0])
+        for coef in _GAMMA_POLY[1:]:
+            acc = acc * c + coef
+        return jnp.where(c <= 0.04045, c / 12.92, acc)
 
     y = 0.212671 * lin(c0) + 0.715160 * lin(c1) + 0.072169 * lin(c2)
-    # Mosaic has no cbrt primitive; exp(log/3) is exact enough on the branch
-    # where it is used (y > delta > 0).
-    cbrt_y = jnp.exp(jnp.log(jnp.maximum(y, 0.008856)) / 3.0)
-    L = jnp.where(y > 0.008856, 116.0 * cbrt_y - 16.0, 903.3 * y)
-    mask = (L / 100.0) < luminosity_threshold
+    # L/100 < t  <=>  Y < Y*(t):  L* = 116 Y^(1/3) - 16 (Y > delta), else
+    # 903.3 Y — invert the branch the threshold lands on.
+    lt = 100.0 * luminosity_threshold
+    y_cube = (lt + 16.0) / 116.0
+    y_thr = jnp.where(lt > 8.0, y_cube * y_cube * y_cube, lt / 903.3)
+    mask = y < y_thr
 
     def od(c):
         return jnp.maximum(-jnp.log(jnp.maximum(c * 255.0, 1.0) / 255.0), 1e-6)
@@ -128,6 +141,9 @@ def _stats_kernel(rgb_ref, out_ref, *, luminosity_threshold: float):
     # which sidesteps scalar-output layout restrictions.
     od0, od1, od2, mask = _od_and_mask(rgb_ref[0], luminosity_threshold)
     m = mask.astype(jnp.float32)
+    # NOTE: a single stacked (10, R, L) -> (10,) reduction would be nicer but
+    # hits an internal Mosaic compiler bug on hardware; ten scalar reductions
+    # compile and run fine.
     stats = [
         jnp.sum(m),
         jnp.sum(m * od0),
