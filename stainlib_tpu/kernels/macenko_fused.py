@@ -20,6 +20,11 @@ intermediate HBM materialization (OD field, angle field, concentration
 field), and every device<->device reshuffle: ~3 passes of uint8 traffic per
 tile total. Layout: planar (B, 3, R, 128); see ``fused_stain.to_planar`` /
 ``data.native.pack_planar`` for producers.
+
+Tile sizes: whole tiles must fit VMEM. 256x256 is the throughput sweet spot
+(~7.9k tiles/s/chip); 512x512 works (validated on hardware, ~970
+256-equivalents/s — the bisection loops scale with tile area and VMEM
+pressure hurts pipelining), so prefer cutting larger fields into 256 tiles.
 """
 
 from __future__ import annotations

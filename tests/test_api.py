@@ -67,3 +67,14 @@ def test_get_concentrations_function():
     M = sl.MacenkoStainExtractor.get_stain_matrix(img)
     C = sl.get_concentrations(img, M)
     assert C.shape == (32 * 32, 2) and (C >= 0).all()
+
+
+def test_vahadane_extractor_and_normalizer_class():
+    img = he_patch(48, 48, seed=56)
+    M = sl.VahadaneStainExtractor.get_stain_matrix(img)
+    assert M.shape == (2, 3) and (M >= 0).all()
+    assert abs(np.linalg.norm(M, axis=1) - 1).max() < 1e-5
+    norm = sl.ExtractiveStainNormalizer("vahadane")
+    norm.fit(he_patch(48, 48, seed=57))
+    out = norm.transform(img)
+    assert out.shape == img.shape and out.dtype == np.uint8
