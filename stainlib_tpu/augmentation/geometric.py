@@ -16,7 +16,7 @@ flip/rot90 per-sample ops used by the balanced patch generators
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

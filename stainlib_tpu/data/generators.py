@@ -18,7 +18,7 @@ and the host does nothing but gather + copy.
 from __future__ import annotations
 
 import re
-from typing import Callable, Iterator, Optional, Sequence
+from typing import Callable, Iterator, Optional
 
 import numpy as np
 

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from stainlib_tpu.models.gmm import ConvGMM, bits_per_dim
 from stainlib_tpu.models.resflow import ResidualFlow, update_lipschitz

@@ -12,7 +12,6 @@ of two native SPAMS calls per image.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
