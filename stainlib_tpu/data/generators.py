@@ -114,3 +114,45 @@ def sliding_window_scores(predict_fn, image: np.ndarray, patch: int,
         s = np.asarray(predict_fn(chunk))[:, 1]
         scores[i : i + batch_size] = s[: len(patches[i : i + batch_size])]
     return scores.reshape(rows, cols)
+
+
+def mine_hard_negatives(predict_fn, patches, labels, k: int,
+                        batch_size: int = 256):
+    """Top-k highest-scoring NEGATIVE patches — the hard-negative-mining
+    step of the TUPAC dataset-construction notebook
+    (``TUPAC_Initial_Classifier_HardNegSampling.ipynb``): score all
+    negatives with the current model, return the most confident false
+    positives to add to the training set.
+
+    Returns (indices_into_patches, scores) sorted by descending score.
+    """
+    patches = np.asarray(patches)
+    labels = np.asarray(labels)
+    neg_idx = np.where(labels == 0)[0]
+    scores = np.empty(len(neg_idx), np.float32)
+    for i in range(0, len(neg_idx), batch_size):
+        chunk = patches[neg_idx[i : i + batch_size]]
+        pad = batch_size - len(chunk)
+        if pad:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+        s = np.asarray(predict_fn(chunk))[:, 1]
+        scores[i : i + batch_size] = s[: len(neg_idx[i : i + batch_size])]
+    order = np.argsort(-scores)[:k]
+    return neg_idx[order], scores[order]
+
+
+def save_heatmap(path: str, scores: np.ndarray):
+    """Save a sliding-window score grid as a PNG heatmap
+    (``utils_patches.py:459-474``'s heatmap dump)."""
+    from PIL import Image
+
+    s = np.asarray(scores, np.float64)
+    s = (s - s.min()) / max(s.max() - s.min(), 1e-12)
+    # Simple blue->red colormap.
+    rgb = np.stack([s, 0.2 * (1 - np.abs(2 * s - 1)), 1.0 - s], -1)
+    img = (rgb * 255).astype(np.uint8)
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    Image.fromarray(img).save(path)
+    return path

@@ -103,3 +103,32 @@ def test_sliding_window_scores():
     rows = (20 - 8) // 4 + 1
     assert heat.shape == (rows, rows)
     assert heat[:, -1].mean() > heat[:, 0].mean()
+
+
+def test_mine_hard_negatives():
+    from stainlib_tpu.data.generators import mine_hard_negatives
+
+    rng = np.random.default_rng(7)
+    patches = rng.random((60, 4, 4, 3)).astype(np.float32)
+    labels = np.array([1] * 20 + [0] * 40)
+
+    def predict(batch):  # score = mean intensity
+        s = np.asarray(batch).mean(axis=(1, 2, 3))
+        return np.stack([1 - s, s], -1)
+
+    idx, scores = mine_hard_negatives(predict, patches, labels, k=5,
+                                      batch_size=16)
+    assert len(idx) == 5 and (labels[idx] == 0).all()
+    # Returned are the brightest negatives, in descending order.
+    assert (np.diff(scores) <= 1e-6).all()
+    neg_means = patches[labels == 0].mean(axis=(1, 2, 3))
+    assert np.isclose(scores[0], neg_means.max(), atol=1e-5)
+
+
+def test_save_heatmap(tmp_path):
+    from stainlib_tpu.data.generators import save_heatmap
+
+    p = save_heatmap(str(tmp_path / "h.png"), np.random.rand(8, 8))
+    import os
+
+    assert os.path.exists(p)
