@@ -133,3 +133,34 @@ def test_stain_augmentor_class():
 def test_stain_augmentor_rejects_unknown_method():
     with pytest.raises(Exception):
         sl.StainAugmentor("bogus")
+
+
+def test_hed_class_initial_sigmas_are_range_lower_bounds():
+    """Before randomize(), transform() applies the range LOWER bounds
+    (the reference initializes _sigmas/_biases from range[0],
+    augmenter.py:196-201,255-259)."""
+    aug = sl.HedColorAugmenter((-0.1, 0.1), (-0.2, 0.2), (0.0, 0.0),
+                               (0.0, 0.0), (0.0, 0.0), (0.0, 0.0), None)
+    assert aug._sigmas == [-0.1, 0.0, 0.0]
+    assert aug._biases == [-0.2, 0.0, 0.0]
+    img = he_patch(16, 16, seed=70)
+    out = aug.transform(img)  # deterministic without randomize()
+    out2 = aug.transform(img)
+    assert (out == out2).all()
+
+
+def test_grayscale_fit_raises_on_white():
+    white = np.full((16, 16, 3), 255, np.uint8)
+    aug = sl.GrayscaleAugmentor()
+    with pytest.raises(sl.TissueMaskException):
+        aug.fit(white)
+
+
+def test_stain_augmentor_background_mode():
+    img = he_patch(32, 32, seed=71)
+    aug = sl.StainAugmentor("macenko", sigma1=0.3, sigma2=0.1,
+                            augment_background=True, seed=9)
+    aug.fit(img)
+    out = aug.pop()
+    # With augment_background, even non-tissue pixels may change.
+    assert out.shape == img.shape and out.dtype == np.uint8
