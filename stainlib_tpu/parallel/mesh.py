@@ -48,7 +48,18 @@ def make_mesh(n_devices: Optional[int] = None, **axis_sizes: int) -> Mesh:
     if not axis_sizes:
         axis_sizes = {"data": n_devices}
     sizes = list(axis_sizes.values())
-    assert int(np.prod(sizes)) == n_devices, (axis_sizes, n_devices)
+    if int(np.prod(sizes)) != n_devices:
+        raise ValueError(
+            f"mesh axis sizes {axis_sizes} require "
+            f"{int(np.prod(sizes))} devices but n_devices={n_devices}"
+        )
+    if len(devices) < n_devices:
+        raise RuntimeError(
+            f"need {n_devices} devices but the {devices[0].platform} "
+            f"backend exposes only {len(devices)}; for a simulated mesh "
+            "set XLA_FLAGS=--xla_force_host_platform_device_count=N and "
+            'jax.config.update("jax_platforms", "cpu") before first use'
+        )
     dev_array = np.asarray(devices[:n_devices]).reshape(sizes)
     return Mesh(dev_array, tuple(axis_sizes.keys()))
 
