@@ -92,8 +92,10 @@ class HedColorAugmenter(ColorAugmenterBase):
         k_s, k_b = jax.random.split(self._next_key())
         u_s = jax.random.uniform(k_s, (3,))
         u_b = jax.random.uniform(k_b, (3,))
+        # A None sigma range randomizes to 1.0 (not 0.0) in the reference
+        # (augmenter.py:338-340); None bias randomizes to 0.0.
         self._sigmas = [
-            float(r[0] + u * (r[1] - r[0])) if r is not None else 0.0
+            float(r[0] + u * (r[1] - r[0])) if r is not None else 1.0
             for r, u in zip(self._sigma_ranges, np.asarray(u_s))
         ]
         self._biases = [

@@ -164,3 +164,19 @@ def test_stain_augmentor_background_mode():
     out = aug.pop()
     # With augment_background, even non-tissue pixels may change.
     assert out.shape == img.shape and out.dtype == np.uint8
+
+
+def test_hed_randomize_none_range_semantics():
+    # Reference contract (augmenter.py:333-344): a None sigma range
+    # randomizes to exactly 1.0; a None bias range to 0.0. Initial values
+    # (before randomize) are 0.0 for both (augmenter.py:193-201).
+    aug = sl.HedColorAugmenter(
+        haematoxylin_sigma_range=None, haematoxylin_bias_range=None,
+        eosin_sigma_range=(-0.1, 0.1), eosin_bias_range=(-0.1, 0.1),
+        dab_sigma_range=None, dab_bias_range=None, cutoff_range=None,
+    )
+    assert aug._sigmas[0] == 0.0 and aug._biases[0] == 0.0
+    aug.randomize()
+    assert aug._sigmas[0] == 1.0 and aug._sigmas[2] == 1.0
+    assert aug._biases[0] == 0.0 and aug._biases[2] == 0.0
+    assert -0.1 <= aug._sigmas[1] <= 0.1
