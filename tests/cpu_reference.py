@@ -92,6 +92,33 @@ def macenko_stain_matrix(I, luminosity_threshold=0.8, angular_percentile=99):
     return HE / np.linalg.norm(HE, axis=1, keepdims=True)
 
 
+def vahadane_stain_matrix(I, luminosity_threshold=0.8, regularizer=0.1,
+                          seed=0):
+    """Golden Vahadane estimation, independent of our BCD solver: the
+    objective of ``spams.trainDL(K=2, lambda1=0.1, mode=2, posAlpha, posD)``
+    (vahadane_stain_extractor.py:19-43) solved with sklearn's coordinate-
+    descent dictionary learner under the same positivity constraints, then
+    the reference's H-first row swap + row normalization."""
+    import warnings
+
+    from sklearn.decomposition import DictionaryLearning
+
+    mask = tissue_mask(I, luminosity_threshold).reshape(-1)
+    od = rgb_to_od(I).reshape(-1, 3)[mask]
+    dl = DictionaryLearning(
+        n_components=2, alpha=regularizer, fit_algorithm="cd",
+        transform_algorithm="lasso_cd", positive_code=True,
+        positive_dict=True, max_iter=2000, tol=1e-10, random_state=seed,
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # per-pixel cd convergence chatter
+        dl.fit(od)
+    D = dl.components_  # rows = stains, shape (2, 3)
+    if D[0, 0] < D[1, 0]:
+        D = D[[1, 0]]
+    return D / np.linalg.norm(D, axis=1, keepdims=True)
+
+
 def nonneg_lasso(od_pixels, stain_matrix, regularizer=0.01):
     """Golden non-negative lasso by direct QP (independent of our KKT path):
     the objective of ``spams.lasso(mode=2, pos=True)`` (stain_utils.py:78),
