@@ -20,9 +20,13 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "_native", "tilereader.cpp")
 _LIB_PATH = os.path.join(_DIR, "_native", "libtilereader.so")
+_TIFF_SRC = os.path.join(_DIR, "_native", "tiffreader.cpp")
+_TIFF_LIB_PATH = os.path.join(_DIR, "_native", "libtiffreader.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
+_tiff_lib: Optional[ctypes.CDLL] = None
+_tiff_build_failed = False
 
 MAGIC = 0x31525357  # "WSR1"
 
@@ -95,6 +99,70 @@ def get_lib() -> Optional[ctypes.CDLL]:
 
 def native_available() -> bool:
     return get_lib() is not None
+
+
+def get_tiff_lib() -> Optional[ctypes.CDLL]:
+    """Load (building against the system libtiff if necessary) the TIFF
+    reader; None when libtiff or a compiler is unavailable."""
+    global _tiff_lib, _tiff_build_failed
+    with _lock:
+        if _tiff_lib is not None:
+            return _tiff_lib
+        if _tiff_build_failed:
+            return None
+        if not os.path.exists(_TIFF_LIB_PATH) or (
+            os.path.getmtime(_TIFF_LIB_PATH) < os.path.getmtime(_TIFF_SRC)
+        ):
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                     "-pthread", _TIFF_SRC, "-ltiff", "-o", _TIFF_LIB_PATH],
+                    check=True, capture_output=True,
+                )
+            except (OSError, subprocess.CalledProcessError):
+                _tiff_build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_TIFF_LIB_PATH)
+        except OSError:
+            _tiff_build_failed = True
+            return None
+        lib.tf_open.restype = ctypes.c_void_p
+        lib.tf_open.argtypes = [ctypes.c_char_p]
+        lib.tf_close.argtypes = [ctypes.c_void_p]
+        lib.tf_num_levels.argtypes = [ctypes.c_void_p]
+        lib.tf_num_levels.restype = ctypes.c_int
+        lib.tf_level_size.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+        ]
+        lib.tf_read_region.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.tf_read_region.restype = ctypes.c_int
+        lib.tf_sample_tiles.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_uint64, ctypes.c_double, ctypes.c_double,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.tf_sample_tiles.restype = ctypes.c_int
+        lib.tf_writer_open.restype = ctypes.c_void_p
+        lib.tf_writer_open.argtypes = [ctypes.c_char_p]
+        lib.tf_writer_add_level.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.c_void_p, ctypes.c_uint32, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.tf_writer_add_level.restype = ctypes.c_int
+        lib.tf_writer_close.argtypes = [ctypes.c_void_p]
+        _tiff_lib = lib
+        return _tiff_lib
+
+
+def tiff_native_available() -> bool:
+    return get_tiff_lib() is not None
 
 
 # ---------------------------------------------------------------------------
@@ -248,6 +316,187 @@ def _read_wsiraw_numpy(path: str):
                 np.frombuffer(f.read(3 * w * h), np.uint8).reshape(h, w, 3)
             )
     return levels
+
+
+# ---------------------------------------------------------------------------
+# Tiled-TIFF (.svs / pyramidal .tif) ingestion
+# ---------------------------------------------------------------------------
+
+# TIFF compression tags accepted by write_tiff_pyramid.
+TIFF_COMPRESSION = {"none": 1, "lzw": 5, "jpeg": 7, "deflate": 8}
+
+
+def write_tiff_pyramid(path: str, levels, tile: int = 256,
+                       compression: str = "jpeg", quality: int = 90) -> None:
+    """Write a tiled pyramidal TIFF (the .svs container layout: baseline IFD
+    first, reduced-resolution IFDs after). ``levels``: (H, W, 3) uint8
+    arrays, level 0 first. JPEG levels are stored as YCbCr like Aperio."""
+    lib = get_tiff_lib()
+    if lib is None:
+        raise RuntimeError("native TIFF writer unavailable (libtiff/g++)")
+    comp = TIFF_COMPRESSION[compression]
+    if comp == 7 and tile % 16 != 0:
+        raise ValueError("JPEG tiles must be multiples of 16")
+    handle = lib.tf_writer_open(path.encode())
+    if not handle:
+        raise OSError(f"cannot create {path}")
+    try:
+        for i, lv in enumerate(levels):
+            assert lv.dtype == np.uint8 and lv.shape[-1] == 3
+            lv = np.ascontiguousarray(lv)
+            rc = lib.tf_writer_add_level(
+                handle, lv.shape[1], lv.shape[0],
+                lv.ctypes.data_as(ctypes.c_void_p), tile, comp, quality,
+                1 if i else 0,
+            )
+            if rc != 0:
+                raise OSError(f"TIFF level write failed ({rc})")
+    finally:
+        lib.tf_writer_close(handle)
+
+
+class TiffSlide:
+    """Handle over a tiled/stripped pyramidal TIFF (.svs, .tif): the
+    OpenSlide.read_region / pyvips.Region.fetch replacement
+    (``data_utils.py:1``). Native libtiff decode with a PIL fallback."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._lib = get_tiff_lib()
+        self._handle = None
+        self._np_levels = None
+        if self._lib is not None:
+            self._handle = self._lib.tf_open(path.encode())
+        if not self._handle:
+            self._lib = None
+            self._np_levels = _read_tiff_pil(path)
+
+    @property
+    def native(self) -> bool:
+        return self._handle is not None
+
+    @property
+    def num_levels(self) -> int:
+        if self.native:
+            return self._lib.tf_num_levels(self._handle)
+        return len(self._np_levels)
+
+    def level_size(self, level: int) -> Tuple[int, int]:
+        """(width, height)."""
+        if self.native:
+            w = ctypes.c_uint32()
+            h = ctypes.c_uint32()
+            self._lib.tf_level_size(self._handle, level, ctypes.byref(w),
+                                    ctypes.byref(h))
+            return w.value, h.value
+        lv = self._np_levels[level]
+        return lv.shape[1], lv.shape[0]
+
+    def read_region(self, level: int, x: int, y: int, w: int, h: int):
+        """(h, w, 3) uint8; out-of-bounds filled white."""
+        out = np.empty((h, w, 3), np.uint8)
+        if self.native:
+            rc = self._lib.tf_read_region(
+                self._handle, level, x, y, w, h,
+                out.ctypes.data_as(ctypes.c_void_p),
+            )
+            assert rc == 0, rc
+            return out
+        lv = self._np_levels[level]
+        out[:] = 255
+        x0, y0 = max(x, 0), max(y, 0)
+        x1, y1 = min(x + w, lv.shape[1]), min(y + h, lv.shape[0])
+        if x0 < x1 and y0 < y1:
+            out[y0 - y : y1 - y, x0 - x : x1 - x] = lv[y0:y1, x0:x1]
+        return out
+
+    def sample_tiles(self, level: int, tile: int, n: int, seed: int = 0,
+                     white_mean_max: float = 230.0, stddev_min: float = 15.0,
+                     mask: Optional[np.ndarray] = None,
+                     mask_scale: float = 0.0,
+                     max_attempts: int = 50):
+        """Same contract as :meth:`RawSlide.sample_tiles`."""
+        out = np.empty((n, tile, tile, 3), np.uint8)
+        coords = np.empty((n, 2), np.int64)
+        if self.native:
+            m_ptr = None
+            mw = mh = 0
+            if mask is not None:
+                mask = np.ascontiguousarray(mask.astype(np.uint8))
+                m_ptr = mask.ctypes.data_as(ctypes.c_void_p)
+                mh, mw = mask.shape
+            self._lib.tf_sample_tiles(
+                self._handle, level, tile, n, seed, white_mean_max,
+                stddev_min, m_ptr, mw, mh, mask_scale, max_attempts,
+                out.ctypes.data_as(ctypes.c_void_p),
+                coords.ctypes.data_as(ctypes.c_void_p),
+            )
+            return out, coords
+        rng = np.random.default_rng(seed)
+        W, H = self.level_size(level)
+        for i in range(n):
+            coords[i] = (-1, -1)
+            out[i] = 128
+            for _ in range(max_attempts):
+                x = int(rng.integers(0, W - tile + 1))
+                y = int(rng.integers(0, H - tile + 1))
+                if mask is not None:
+                    mx = min(int(x * mask_scale), mask.shape[1] - 1)
+                    my = min(int(y * mask_scale), mask.shape[0] - 1)
+                    if not mask[my, mx]:
+                        continue
+                patch = self.read_region(level, x, y, tile, tile)
+                if patch.mean() > white_mean_max or patch.std() < stddev_min:
+                    continue
+                out[i] = patch
+                coords[i] = (x, y)
+                break
+        return out, coords
+
+    def close(self):
+        if self.native and self._handle:
+            self._lib.tf_close(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def _read_tiff_pil(path: str):
+    """Fallback full-level decode via PIL; keeps IFDs whose aspect ratio
+    matches the baseline (drops .svs label/macro images)."""
+    from PIL import Image, ImageSequence
+
+    with Image.open(path) as im:
+        frames = [
+            np.asarray(f.convert("RGB"))
+            for f in ImageSequence.Iterator(im)
+        ]
+    frames.sort(key=lambda a: -a.shape[1])
+    a0 = frames[0].shape[1] / frames[0].shape[0]
+    keep = [frames[0]] + [
+        f for f in frames[1:]
+        if 0.9 * a0 <= f.shape[1] / f.shape[0] <= 1.1 * a0
+    ]
+    return keep
+
+
+_TIFF_EXTS = (".tif", ".tiff", ".svs")
+
+
+def open_slide(path: str):
+    """Open any supported slide container: WSIRAW ('WSR1') or tiled TIFF
+    (.tif/.tiff/.svs). Dispatches on magic bytes, falling back to extension."""
+    with open(path, "rb") as f:
+        head = f.read(4)
+    if len(head) == 4 and np.frombuffer(head, np.uint32)[0] == MAGIC:
+        return RawSlide(path)
+    if head[:2] in (b"II", b"MM") or path.lower().endswith(_TIFF_EXTS):
+        return TiffSlide(path)
+    return RawSlide(path)
 
 
 # ---------------------------------------------------------------------------

@@ -25,7 +25,7 @@ from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from stainlib_tpu.data.native import RawSlide, tissue_mask_hsv
+from stainlib_tpu.data.native import RawSlide, open_slide, tissue_mask_hsv
 from stainlib_tpu.parallel.mesh import local_data_shard
 
 
@@ -105,7 +105,8 @@ class SamplerConfig:
 
 
 class WsiSampler:
-    """Streams tile batches from a set of WSIRAW slides.
+    """Streams tile batches from a set of slides (WSIRAW or tiled
+    pyramidal TIFF / .svs, via :func:`stainlib_tpu.data.native.open_slide`).
 
     * per-worker sharding of the slide list mirrors the reference's
       ``hvd.rank()`` split (``data_utils.py:1``);
@@ -134,7 +135,7 @@ class WsiSampler:
                      if xml_paths else [None] * len(self.paths))
         self.cfg = cfg
         self.seed = seed
-        self._slides = [RawSlide(p) for p in self.paths]
+        self._slides = [open_slide(p) for p in self.paths]
         self._masks = [self._roi_mask(s) for s in self._slides]
         self._tumor = [self._tumor_mask(s, x)
                        for s, x in zip(self._slides, self.xmls)]
