@@ -187,7 +187,11 @@ def bench_streaming():
     host = (t for t, _ in sampler.train_batches(num_batches=n_batches + 1))
     # Planar repack happens ON DEVICE (one cheap transpose) — on few-core
     # hosts that beats native.pack_planar and keeps the host free to sample.
-    feed = DevicePrefetcher(host, depth=2)
+    # Several prefetch workers overlap sampling + host->device DMA; the
+    # consumer never blocks per step, so compute, transfer and the relay
+    # round-trip latency all pipeline (the reference's double-buffered
+    # DataLoader role, train_img_horo.py:292-302).
+    feed = DevicePrefetcher(host, depth=4, workers=3)
 
     from stainlib_tpu.kernels.fused_stain import to_planar
 
@@ -197,9 +201,11 @@ def bench_streaming():
     run(next(feed)).block_until_ready()  # compile outside the timed region
     t0 = time.perf_counter()
     count = 0
+    in_flight = []
     for x in feed:
-        run(x).block_until_ready()
+        in_flight.append(run(x))
         count += x.shape[0]
+    jax.block_until_ready(in_flight)
     elapsed = time.perf_counter() - t0
     tps = count / elapsed
 

@@ -1,11 +1,16 @@
-"""Double-buffered host -> device feeding.
+"""Multi-buffered host -> device feeding.
 
 The reference hides host latency behind torch DataLoader workers
-(``train_img_horo.py:292-302``); TPU-natively the equivalent is a small
-prefetch ring: a background thread pulls host batches (from any iterator,
-e.g. :class:`stainlib_tpu.data.wsi.WsiSampler`), optionally packs them to
-the planar layout in C++, and ``jax.device_put``s them ahead of the consumer
-so the chip never waits on the host (SURVEY.md section 7 step 7).
+(``train_img_horo.py:292-302``); TPU-natively the equivalent is a prefetch
+ring: background threads pull host batches (from any iterator, e.g.
+:class:`stainlib_tpu.data.wsi.WsiSampler`), optionally transform them on the
+host (e.g. ``native.pack_planar``), and ``jax.device_put`` them ahead of the
+consumer so the chip never waits on the host (SURVEY.md section 7 step 7).
+
+With ``workers > 1`` several host batches are sampled/transferred
+concurrently (each `device_put` is an independent in-flight DMA), which
+amortizes per-transfer round-trip latency; delivery order is preserved, so
+training streams stay deterministic for a fixed host iterator.
 """
 
 from __future__ import annotations
@@ -23,32 +28,70 @@ class DevicePrefetcher:
 
     _DONE = object()
 
-    def __init__(self, host_iter: Iterator, depth: int = 2,
+    def __init__(self, host_iter: Iterator, depth: int = 4,
                  transform: Optional[Callable] = None,
-                 sharding=None):
-        """``transform(batch) -> array(s)`` runs on the host thread (e.g.
-        ``native.pack_planar``); ``sharding`` is an optional NamedSharding
-        for multi-device placement."""
+                 sharding=None, workers: int = 1):
+        """``transform(batch) -> array(s)`` runs on a host thread;
+        ``sharding`` is an optional NamedSharding for multi-device
+        placement; ``workers`` host threads overlap sampling + transfer."""
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._err: Optional[BaseException] = None
+        self._iter = iter(host_iter)
+        self._iter_lock = threading.Lock()
+        self._seq = 0
+        self._emit = threading.Condition()
+        self._next_emit = 0
+        self._stopped = False
+        self._active = workers
+
+        def put_to_device(batch):
+            if transform is not None:
+                batch = transform(batch)
+            return jax.tree.map(
+                lambda a: jax.device_put(np.asarray(a), sharding), batch
+            )
 
         def worker():
             try:
-                for batch in host_iter:
-                    if transform is not None:
-                        batch = transform(batch)
-                    batch = jax.tree.map(
-                        lambda a: jax.device_put(np.asarray(a), sharding),
-                        batch,
-                    )
-                    self._q.put(batch)
+                while True:
+                    with self._iter_lock:
+                        if self._stopped:
+                            return
+                        try:
+                            batch = next(self._iter)
+                        except StopIteration:
+                            return
+                        seq = self._seq
+                        self._seq += 1
+                    batch = put_to_device(batch)
+                    with self._emit:
+                        while self._next_emit != seq and not self._stopped:
+                            self._emit.wait()
+                        if self._stopped:
+                            return
+                        self._q.put(batch)
+                        self._next_emit += 1
+                        self._emit.notify_all()
             except BaseException as e:  # surfaced on the consumer side
-                self._err = e
+                with self._emit:
+                    if self._err is None:
+                        self._err = e
+                    self._stopped = True
+                    self._emit.notify_all()
             finally:
-                self._q.put(self._DONE)
+                finish = False
+                with self._emit:
+                    self._active -= 1
+                    finish = self._active == 0
+                if finish:
+                    self._q.put(self._DONE)
 
-        self._thread = threading.Thread(target=worker, daemon=True)
-        self._thread.start()
+        self._threads = [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(max(workers, 1))
+        ]
+        for t in self._threads:
+            t.start()
 
     def __iter__(self):
         return self

@@ -119,3 +119,22 @@ def test_tissue_regions_bboxes(slide_dir):
     # The tissue block lives at [32:224)x[32:224) of a 256x256 slide.
     assert 0 <= x <= 64 and 0 <= y <= 64
     assert 100 <= w <= 256 and 100 <= h <= 256
+
+
+def test_device_prefetcher_multiworker_preserves_order():
+    batches = [np.full((4,), i, np.int32) for i in range(24)]
+    feed = DevicePrefetcher(iter(batches), depth=4, workers=3)
+    got = [int(np.asarray(b)[0]) for b in feed]
+    assert got == list(range(24))
+
+
+def test_device_prefetcher_multiworker_propagates_errors():
+    def gen():
+        yield np.zeros((2,), np.int32)
+        yield np.zeros((2,), np.int32)
+        raise ValueError("boom")
+
+    feed = DevicePrefetcher(gen(), depth=2, workers=3)
+    with pytest.raises(ValueError, match="boom"):
+        for _ in feed:
+            pass
