@@ -277,3 +277,16 @@ def predict_mitosis(model: DannCNN, state: DannState, images):
         images, train=False,
     )
     return jax.nn.softmax(mit_logits, axis=-1)
+
+
+def predict_domain(model: DannCNN, state: DannState, images):
+    """Inference-mode domain class probabilities from the adversarial head.
+
+    Under successful adversarial training this head's accuracy on held-out
+    data degrades toward chance — the stain-invariance criterion of
+    ``base_experiment_dann.py:78-134``."""
+    _, dom_logits = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        images, train=False,
+    )
+    return jax.nn.softmax(dom_logits, axis=-1)
