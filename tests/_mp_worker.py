@@ -1,0 +1,112 @@
+"""Subprocess worker for tests/test_multiprocess.py.
+
+Each worker is one rank of a 2-process CPU deployment (the analogue of one
+``mpirun`` rank in the reference's launch, ``run.sh:20-63``): it bootstraps
+``jax.distributed`` through :func:`stainlib_tpu.parallel.mesh.
+initialize_distributed`, takes its shard of a deterministic global dataset
+via :func:`local_data_shard` (the ``hvd.rank()`` split of
+``data_utils.py:1``), and runs ONE data-parallel residual-flow training step
+over the global 2x2-device mesh — proving the multi-host path end to end
+with real cross-process collectives (Gloo), not just the simulated
+single-process mesh.
+
+Usage: python tests/_mp_worker.py <process_id> <num_processes> <port>
+"""
+
+import os
+import sys
+
+
+def _make_tiles(n, h, w, seed=0):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    he = np.array([[0.55, 0.72, 0.42], [0.17, 0.80, 0.57]])
+    he /= np.linalg.norm(he, axis=1, keepdims=True)
+    C = rng.random((n, h, w, 2)) * 1.5
+    img = 255.0 * np.exp(-(C @ he))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def main(pid: int, nproc: int, port: str) -> None:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=2"
+        ).strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from stainlib_tpu.parallel.mesh import (
+        initialize_distributed,
+        local_data_shard,
+        make_mesh,
+    )
+
+    initialize_distributed(coordinator_address=f"localhost:{port}",
+                           num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc, jax.process_count()
+    n_dev = jax.device_count()
+    assert n_dev == 2 * nproc, n_dev
+    assert len(jax.local_devices()) == 2
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from stainlib_tpu.models.train_flow import (
+        FlowConfig,
+        init_flow_state,
+        make_train_step,
+    )
+    from stainlib_tpu.ops.colorspace import rgb_to_hsd
+
+    mesh = make_mesh(data=n_dev)
+
+    # Deterministic global dataset; this rank takes its contiguous shard.
+    global_tiles = _make_tiles(4 * n_dev, 16, 16, seed=7)
+    lo, hi = local_data_shard(len(global_tiles))
+    assert hi - lo == len(global_tiles) // nproc
+    local_hsd = np.asarray(rgb_to_hsd(jnp.asarray(global_tiles[lo:hi])))
+
+    # Identical init on every rank (same seeds, same sample) — the
+    # state-broadcast-from-rank-0 equivalent (train_img_horo.py:452-454).
+    sample_hsd = np.asarray(rgb_to_hsd(jnp.asarray(global_tiles[:4])))
+    cfg = FlowConfig(image_size=16, n_scales=1, blocks_per_scale=2, hidden=8,
+                     n_power_series=2, n_clusters=3, warmup_iters=2)
+    flow, gmm, state, tx = init_flow_state(
+        cfg, jax.random.PRNGKey(0), sample_hsd=sample_hsd
+    )
+    step = make_train_step(flow, gmm, cfg, tx, mesh=mesh)
+
+    # Globalize: batch sharded over 'data' across BOTH processes, state
+    # replicated.
+    sh_data = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    global_hsd = jax.make_array_from_process_local_data(
+        sh_data, local_hsd, (len(global_tiles),) + local_hsd.shape[1:]
+    )
+    gstate = jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            rep, np.asarray(x), np.shape(x)
+        ),
+        state,
+    )
+
+    new_state, loss = step(gstate, global_hsd)
+    jax.block_until_ready(loss)
+    loss = float(loss)  # fully replicated -> addressable on every rank
+    assert np.isfinite(loss), loss
+    # Params moved and stayed replicated.
+    p0 = new_state.params["gmm"]["mu"]
+    assert p0.is_fully_replicated
+    print(f"MP_OK {pid} loss {loss:.6f}", flush=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3])
