@@ -65,6 +65,10 @@ class DannCNN(nn.Module):
 
     n_domains: int = 8
     n_filters: int = 16
+    # Keras BatchNormalization default (reference parity). Short demo runs
+    # (a few hundred steps) should pass ~0.9 so the inference-mode running
+    # statistics can track the still-moving feature distribution.
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, x, hp_lambda=1.0, train: bool = True):
@@ -73,7 +77,8 @@ class DannCNN(nn.Module):
             padding="VALID", kernel_init=nn.initializers.glorot_uniform(),
         )
         norm = functools.partial(
-            nn.BatchNorm, use_running_average=not train, momentum=0.99
+            nn.BatchNorm, use_running_average=not train,
+            momentum=self.bn_momentum,
         )
         # Block 1: conv, conv, BN, pool.
         x = nn.relu(conv()(x))
@@ -184,8 +189,9 @@ class DannState(NamedTuple):
 
 
 def init_dann(key, n_domains: int = 8, lr: float = 0.01,
-              input_shape=(63, 63, 3)) -> tuple[DannCNN, DannState, Any]:
-    model = DannCNN(n_domains=n_domains)
+              input_shape=(63, 63, 3),
+              bn_momentum: float = 0.99) -> tuple[DannCNN, DannState, Any]:
+    model = DannCNN(n_domains=n_domains, bn_momentum=bn_momentum)
     k_init, k_state = jax.random.split(key)
     variables = model.init(
         k_init, jnp.zeros((1,) + input_shape, jnp.float32), train=False
@@ -268,6 +274,21 @@ def reinit_layers(params, layer_names, key, scale: float = 0.05):
 PHASE_MITOSIS = (1.0, 0.0, 0.0)
 PHASE_DOMAIN = (0.0, 1.0, -1.0)
 PHASE_ADVERSARIAL = (1.0, 1.0, 1.0)
+
+
+def phase_adversarial(hp_lambda: float = 1.0):
+    """Adversarial phase weights with an explicit reversal strength.
+
+    The reference fixes hp_lambda=1 in the adversarial update but carries a
+    ``lambda_m`` config knob and a commented-out adaptive schedule
+    ``(2/(1+exp(-20 iter/change_iter)))-1`` (``base_experiment_dann.py:
+    104-106``). Note the schedule's structural property: the domain phase
+    pushes +1x the domain gradient INTO the shared features and the
+    adversarial phase pushes -hp_lambda x, so at hp_lambda=1 the net
+    first-order pressure on the features cancels and invariance emerges only
+    slowly; hp_lambda ~ 2 makes the net pressure strictly adversarial (used
+    by the invariance demonstration, ``scripts/dann_invariance_demo.py``)."""
+    return (1.0, 1.0, float(hp_lambda))
 
 
 def predict_mitosis(model: DannCNN, state: DannState, images):

@@ -124,3 +124,100 @@ def train_dann_experiment(
                 w.writerow(["auc_int", "f1_int", "auc_ext", "f1_ext"])
                 w.writerows(arr.tolist())
     return aggregated, measures
+
+
+# ---------------------------------------------------------------------------
+# Invariance demonstration helpers
+# ---------------------------------------------------------------------------
+
+
+def train_dann_phases(images, task_labels, domain_labels, phases, iters,
+                      batch_size=48, seed=0, lr=0.01, bn_momentum=0.9,
+                      n_domains=2):
+    """Train a :class:`~stainlib_tpu.models.dann.DannCNN` with an explicit
+    per-iteration phase list (each a ``(w_mit, w_dom, hp_lambda)`` triple).
+
+    The building block of the invariance demonstration: ``phases =
+    [PHASE_MITOSIS]`` is the plain baseline, ``[PHASE_MITOSIS, PHASE_DOMAIN]``
+    the non-adversarial two-head model (the domain head acts as a live probe
+    of how much domain information the shared features carry), and
+    ``[PHASE_MITOSIS, PHASE_DOMAIN, phase_adversarial(lam)]`` the full DANN
+    loop of ``base_experiment_dann.py:87-110``. ``bn_momentum`` defaults to
+    0.9 (not the reference's Keras 0.99) because demonstration runs are a few
+    hundred steps, too short for 0.99 running statistics to track.
+
+    Returns ``(model, state)``.
+    """
+    import jax.numpy as jnp
+
+    model, state, tx = dann.init_dann(
+        jax.random.PRNGKey(seed), n_domains=n_domains, lr=lr,
+        input_shape=images.shape[1:], bn_momentum=bn_momentum,
+    )
+    step = dann.make_train_step(model, tx)
+    rng = np.random.default_rng(seed + 100)
+    for _ in range(iters):
+        idx = rng.integers(0, len(images), batch_size)
+        im = jnp.asarray(images[idx])
+        ty = jnp.asarray(task_labels[idx])
+        dy = jnp.asarray(domain_labels[idx])
+        for ph in phases:
+            state, _ = step(state, im, ty, dy, *ph)
+    return model, state
+
+
+def eval_task_domain(model, state, images, task_labels, domain_labels,
+                     batch_size=128):
+    """Inference-mode task accuracy/F1 and domain-head accuracy.
+
+    The domain-head number is the invariance criterion: it is TRAINED every
+    iteration (phase 2), so if it still cannot beat chance the shared
+    features carry no usable domain signal (``base_experiment_dann.py``'s
+    stated goal)."""
+    import jax.numpy as jnp
+
+    preds, dpreds = [], []
+    for i in range(0, len(images), batch_size):
+        ml, dl = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jnp.asarray(images[i : i + batch_size]), train=False,
+        )
+        preds.append(np.asarray(ml).argmax(-1))
+        dpreds.append(np.asarray(dl).argmax(-1))
+    pred = np.concatenate(preds)
+    dpred = np.concatenate(dpreds)
+    tp = int(((pred == 1) & (task_labels == 1)).sum())
+    fp = int(((pred == 1) & (task_labels == 0)).sum())
+    fn = int(((pred == 0) & (task_labels == 1)).sum())
+    return {
+        "task_acc": float((pred == task_labels).mean()),
+        "task_f1": 2.0 * tp / max(2 * tp + fp + fn, 1),
+        "domain_acc": float((dpred == domain_labels).mean()),
+    }
+
+
+def recalibrate_batch_stats(model, state, images, batch_size=64, passes=2,
+                            key=None):
+    """Recompute BatchNorm running statistics with frozen parameters.
+
+    Short demonstration runs leave the running averages lagging the final
+    parameters (inference-mode predictions then disagree wildly with
+    train-mode ones); a couple of frozen-parameter passes over the training
+    set converge them. Returns the state with refreshed ``batch_stats``.
+    """
+    import jax.numpy as jnp
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    bs = state.batch_stats
+    n_full = len(images) // batch_size * batch_size
+    for p in range(passes):
+        for i in range(0, n_full, batch_size):
+            _, upd = model.apply(
+                {"params": state.params, "batch_stats": bs},
+                jnp.asarray(images[i : i + batch_size]), train=True,
+                rngs={"dropout": jax.random.fold_in(key, p * 10000 + i)},
+                mutable=["batch_stats"],
+            )
+            bs = upd["batch_stats"]
+    return state._replace(batch_stats=bs)
