@@ -21,10 +21,10 @@ field), and every device<->device reshuffle: ~3 passes of uint8 traffic per
 tile total. Layout: planar (B, 3, R, 128); see ``fused_stain.to_planar`` /
 ``data.native.pack_planar`` for producers.
 
-Tile sizes: whole tiles must fit VMEM. 256x256 is the throughput sweet spot
-(~7.9k tiles/s/chip); 512x512 works (validated on hardware, ~970
-256-equivalents/s — the bisection loops scale with tile area and VMEM
-pressure hurts pipelining), so prefer cutting larger fields into 256 tiles.
+Tile sizes: whole tiles must fit VMEM. Measured on hardware with chained
+dispatches (BASELINE.md r2): 256x256 runs at ~30.7k tiles/s/chip and
+512x512 at ~26.3k 256-equivalents/s (slightly better per pixel — the
+bisection chains amortize over 4x the pixels); both sizes are first-class.
 """
 
 from __future__ import annotations
