@@ -22,7 +22,7 @@ TILE = 256
 BATCH = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 256
 ITERS = int(sys.argv[sys.argv.index("--iters") + 1]) if "--iters" in sys.argv else 10
 # BASELINE.json configs: 'macenko' (#2, default headline), 'vahadane' (#4),
-# 'reinhard' (#1), or 'streaming' (#5).
+# 'reinhard' (#1), 'augment' (#3), or 'streaming' (#5).
 CONFIG = (sys.argv[sys.argv.index("--config") + 1]
           if "--config" in sys.argv else "macenko")
 
@@ -147,6 +147,44 @@ def bench_cpu(tiles, M_tgt, maxc_tgt, n=6, method="macenko"):
 # --------------------------------------------------------------------------
 
 
+def chain_tps(jax, run, first, extra_args, batch):
+    """Marginal per-batch throughput of a DEPENDENT dispatch chain.
+
+    Each step feeds the previous output back as the first argument (all
+    benched paths are shape-preserving uint8 -> uint8), the final output is
+    drained by FETCHING an on-device scalar reduction, and the 1-chain time
+    is subtracted from the N-chain time. Rationale (measured, BASELINE.md):
+    on the tunnelled relay ``block_until_ready`` can return before
+    execution, and independent unused dispatches are sometimes skipped
+    outright (artifacts that once produced 5.9M and 2.6e12 "tiles/s");
+    blocking every step instead charges the relay's ~30 ms round-trip to
+    each batch. A data-dependent chain ending in a fetched scalar cannot be
+    skipped, reordered, or left incomplete, and the chain difference
+    cancels the fixed round-trip and probe cost.
+
+    ``extra_args``: per-step tuples of additional ``run`` arguments
+    (len >= 2; the chain length is len(extra_args)).
+    """
+    import jax.numpy as jnp
+
+    probe = jax.jit(lambda x: jnp.max(x))
+    float(probe(run(first, *extra_args[0])))  # warm the probe program
+
+    def t_chain(n):
+        t0 = time.perf_counter()
+        out = first
+        for a in extra_args[:n]:
+            out = run(out, *a)
+        float(probe(out))
+        return time.perf_counter() - t0
+
+    # min over two runs at both ends: the relay round-trip in each chain
+    # carries tens of ms of jitter, which otherwise swamps short chains.
+    t1 = min(t_chain(1), t_chain(1))
+    tn = min(t_chain(len(extra_args)), t_chain(len(extra_args)))
+    return batch * (len(extra_args) - 1) / max(tn - t1, 1e-9)
+
+
 def bench_streaming():
     """BASELINE config #5: the streaming WSI pipeline end to end — native
     tile sampling off synthetic WSIRAW slides, C++ HWC->planar pack, a
@@ -239,11 +277,7 @@ def bench_reinhard():
     run = jax.jit(lambda x: reinhard_normalize_planar(
         x, params.means, params.stds, interpret=not on_tpu))
     run(dev_tiles).block_until_ready()
-    # Chained dispatches, one trailing block (see the macenko timed region).
-    t0 = time.perf_counter()
-    outs = [run(dev_tiles) for _ in range(ITERS)]
-    jax.block_until_ready(outs)
-    tps = BATCH * ITERS / (time.perf_counter() - t0)
+    tps = chain_tps(jax, run, dev_tiles, [()] * (ITERS + 1), BATCH)
 
     # CPU baseline: the same formulas in numpy (reference uses OpenCV LUTs).
     def np_lab(I):
@@ -283,11 +317,64 @@ def bench_reinhard():
     }))
 
 
+def bench_augment():
+    """BASELINE config #3: PRNG-keyed HED jitter, the flagship augmenter
+    family (``augmenter.py:86-372``: randomize + transform fused, per-image
+    draws), chained-dispatch on device vs the reference's per-image
+    skimage-semantics path in numpy."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from stainlib_tpu.augmentation.functional import hed_jitter
+
+    tiles = make_tiles(BATCH)
+    dev = jax.device_put(tiles)
+    run = jax.jit(hed_jitter)
+    key = jax.random.PRNGKey(0)
+    run(dev, key).block_until_ready()
+    tps = chain_tps(
+        jax, run, dev,
+        [(jax.random.fold_in(key, i),) for i in range(ITERS + 1)], BATCH,
+    )
+
+    # CPU baseline: skimage rgb2hed/hed2rgb semantics in numpy, per image
+    # (the reference calls skimage per patch, augmenter.py:295,319).
+    rgb_from_hed = np.array([[0.65, 0.70, 0.29],
+                             [0.07, 0.99, 0.11],
+                             [0.27, 0.57, 0.78]])
+    rgb_from_hed /= np.linalg.norm(rgb_from_hed, axis=1, keepdims=True)
+    hed_from_rgb = np.linalg.inv(rgb_from_hed)
+    log_adjust = np.log(1e-6)
+
+    def cpu_one(I, rng):
+        f = np.maximum(I.astype(np.float64) / 255.0, 1e-6)
+        hed = (np.log(f) / log_adjust) @ hed_from_rgb
+        hed = hed * (1.0 + rng.uniform(-0.1, 0.1, 3)) + rng.uniform(-0.1, 0.1, 3)
+        rgb = np.exp(-(hed * -log_adjust) @ rgb_from_hed)
+        return (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+
+    rng = np.random.default_rng(0)
+    cpu_one(tiles[0], rng)
+    t0 = time.perf_counter()
+    for i in range(6):
+        cpu_one(tiles[i % len(tiles)], rng)
+    cpu_tps = 6 / (time.perf_counter() - t0)
+    print(json.dumps({
+        "metric": f"hed_augment_{TILE}x{TILE}_tiles_per_sec_per_chip",
+        "value": round(tps, 2),
+        "unit": "tiles/s",
+        "vs_baseline": round(tps / cpu_tps, 2),
+    }))
+
+
 def main():
     if CONFIG == "streaming":
         return bench_streaming()
     if CONFIG == "reinhard":
         return bench_reinhard()
+    if CONFIG == "augment":
+        return bench_augment()
     import jax
 
     # Remote TPU compiles are slow; persist them across runs.
@@ -339,9 +426,10 @@ def main():
         )
 
     def step_functional(x):
-        return extractive.transform(
+        # planar -> planar so the bench chain can feed outputs back.
+        return fused_stain.to_planar(extractive.transform(
             params, fused_stain.from_planar(x, TILE, TILE), method=CONFIG
-        )
+        ))
 
     step = None
     for candidate, name in ((step_full_fused, "full_fused"),
@@ -357,16 +445,13 @@ def main():
             print(f"# {name} path failed: {type(e).__name__}: {e}", file=sys.stderr)
     assert step is not None, "no executable path"
 
-    # Timed region: ITERS dispatches in flight, one trailing block — the
-    # steady-state pipelined throughput a real consumer sees (our streaming
-    # pipeline never blocks per step either). Blocking every step instead
+    # Timed region: marginal cost per batch in a chained dispatch stream —
+    # the steady-state pipelined throughput a real consumer sees (our
+    # streaming pipeline never blocks per step either). Blocking every step
     # would charge the tunnelled relay's ~30 ms per-dispatch round-trip
     # (BASELINE.md round-2 characterization) to the chip: ~7.3k tiles/s
-    # measured that way vs ~25k actual chip rate at batch 256.
-    t0 = time.perf_counter()
-    outs = [step(planar) for _ in range(ITERS)]
-    jax.block_until_ready(outs)
-    tps = BATCH * ITERS / (time.perf_counter() - t0)
+    # measured that way vs ~43k actual chip rate at batch 256.
+    tps = chain_tps(jax, step, planar, [()] * (ITERS + 1), BATCH)
 
     cpu_tps = bench_cpu(tiles, M_tgt, maxc_tgt, method=CONFIG)
 

@@ -21,10 +21,11 @@ field), and every device<->device reshuffle: ~3 passes of uint8 traffic per
 tile total. Layout: planar (B, 3, R, 128); see ``fused_stain.to_planar`` /
 ``data.native.pack_planar`` for producers.
 
-Tile sizes: whole tiles must fit VMEM. Measured on hardware with chained
-dispatches (BASELINE.md r2): 256x256 runs at ~30.7k tiles/s/chip and
-512x512 at ~26.3k 256-equivalents/s (slightly better per pixel — the
-bisection chains amortize over 4x the pixels); both sizes are first-class.
+Tile sizes: whole tiles must fit VMEM. Measured on hardware as the marginal
+cost in a dependent dispatch chain (BASELINE.md r2): 256x256 runs at ~43k
+tiles/s/chip and 512x512 at ~49k 256-equivalents/s (slightly better per
+pixel — the bisection chains amortize over 4x the pixels); both sizes are
+first-class.
 """
 
 from __future__ import annotations
