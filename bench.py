@@ -99,7 +99,7 @@ def _np_lasso(od, M, lam=0.01):
     return np.stack([c1, c2], -1)
 
 
-def _np_vahadane(I, lam=0.1, iters=60):
+def _np_vahadane(I, lam=0.1, iters=30):
     """CPU dictionary learning with the same alternating scheme (the
     reference's native trainDL role); baseline for config #4."""
     mask = _np_luminance_mask(I).reshape(-1)

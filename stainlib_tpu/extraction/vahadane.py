@@ -22,7 +22,7 @@ def stain_matrix_vahadane(
     rgb,
     luminosity_threshold: float = 0.8,
     regularizer: float = 0.1,
-    num_iters: int = 60,
+    num_iters: int = 30,
     init=None,
 ):
     """Estimate the 2x3 H&E stain matrix per image by sparse NMF.

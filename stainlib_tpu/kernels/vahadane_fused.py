@@ -139,7 +139,7 @@ def _dict_kernel(rgb_ref, out_ref, *, regularizer: float, num_iters: int,
 def vahadane_stain_matrix_planar(
     rgb_planar,
     regularizer: float = 0.1,
-    num_iters: int = 60,
+    num_iters: int = 30,
     luminosity_threshold: float = 0.8,
     interpret: bool = False,
 ):
@@ -178,7 +178,7 @@ def vahadane_stain_matrix_planar(
 def vahadane_normalize_planar(rgb_planar, stain_matrix_tgt, max_c_target,
                               regularizer_fit: float = 0.1,
                               regularizer: float = 0.01,
-                              num_iters: int = 60,
+                              num_iters: int = 30,
                               interpret: bool = False):
     """Full Vahadane fit+transform: dictionary kernel + fused apply kernel."""
     M_src = vahadane_stain_matrix_planar(

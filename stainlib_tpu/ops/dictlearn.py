@@ -44,7 +44,7 @@ def fit_stain_dictionary(
     od,
     mask,
     regularizer: float = 0.1,
-    num_iters: int = 60,
+    num_iters: int = 30,
     init=None,
 ):
     """Learn the 2x3 stain dictionary from masked OD pixels.
