@@ -85,7 +85,7 @@ def _od_and_mask(rgb_u8, luminosity_threshold):
     return od(c0), od(c1), od(c2), mask
 
 
-def _multi_masked_percentile(searches, n_iters=26):
+def _multi_masked_percentile(searches, n_iters=14):
     """Several np.percentile(values[mask], q) computations fused into ONE
     bisection loop: every iteration evaluates all order-stat counts in a
     single traversal of the operands, so the pass count is n_iters instead of
@@ -183,7 +183,7 @@ _NSCAL_B = 16
 
 
 def _apply_kernel(scal_ref, rgb_ref, out_ref, *, q_angle: float,
-                  q_conc: float, n_pixels: int):
+                  q_conc: float, n_pixels: int, n_bisect: int):
     img = pl.program_id(0)
 
     def sc(i):
@@ -221,7 +221,7 @@ def _apply_kernel(scal_ref, rgb_ref, out_ref, *, q_angle: float,
          jnp.float32(0.0), jnp.float32(4.0)),
         (m_angle, mask, n_valid, q_angle,
          jnp.float32(0.0), jnp.float32(4.0)),
-    ])
+    ], n_iters=n_bisect)
 
     def unit_dir(m):
         # Invert: shifted pseudo-angle -> diamond angle -> unit (cos, sin).
@@ -277,7 +277,7 @@ def _apply_kernel(scal_ref, rgb_ref, out_ref, *, q_angle: float,
     max_c1, max_c2 = _multi_masked_percentile([
         (c1, None, n_all, q_conc, jnp.float32(0.0), jnp.max(c1)),
         (c2, None, n_all, q_conc, jnp.float32(0.0), jnp.max(c2)),
-    ])
+    ], n_iters=n_bisect)
     scale1 = sc(12) / jnp.maximum(max_c1, 1e-8)
     scale2 = sc(13) / jnp.maximum(max_c2, 1e-8)
     c1s = c1 * scale1
@@ -297,7 +297,7 @@ def _apply_kernel(scal_ref, rgb_ref, out_ref, *, q_angle: float,
 @functools.partial(
     jax.jit,
     static_argnames=("luminosity_threshold", "angular_percentile",
-                     "q_conc", "regularizer", "interpret"),
+                     "q_conc", "regularizer", "n_bisect", "interpret"),
 )
 def macenko_normalize_planar(
     rgb_planar,
@@ -307,6 +307,7 @@ def macenko_normalize_planar(
     angular_percentile: float = 99.0,
     q_conc: float = 99.0,
     regularizer: float = 0.01,
+    n_bisect: int = 14,
     interpret: bool = False,
 ):
     """Full Macenko fit+transform over planar (B, 3, R, 128) uint8 tiles."""
@@ -371,7 +372,7 @@ def macenko_normalize_planar(
     )
     return pl.pallas_call(
         functools.partial(_apply_kernel, q_angle=angular_percentile,
-                          q_conc=q_conc, n_pixels=R * L),
+                          q_conc=q_conc, n_pixels=R * L, n_bisect=n_bisect),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, 3, R, L), jnp.uint8),
         interpret=interpret,
