@@ -239,11 +239,15 @@ def bench_streaming():
     run(next(feed)).block_until_ready()  # compile outside the timed region
     t0 = time.perf_counter()
     count = 0
-    in_flight = []
+    acc = None
     for x in feed:
-        in_flight.append(run(x))
+        y = run(x)
+        # Cheap dependent fold: keeps every output on the critical path so
+        # the relay cannot skip unused dispatches (see chain_tps rationale),
+        # while the inputs still stream/overlap freely.
+        acc = y if acc is None else jnp.maximum(acc, y)
         count += x.shape[0]
-    jax.block_until_ready(in_flight)
+    float(jnp.max(acc))  # artifact-proof drain
     elapsed = time.perf_counter() - t0
     tps = count / elapsed
 
