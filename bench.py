@@ -99,14 +99,17 @@ def _np_lasso(od, M, lam=0.01):
     return np.stack([c1, c2], -1)
 
 
-def _np_vahadane(I, lam=0.1, iters=30):
+def _np_vahadane(I, lam=0.1, iters=12):
     """CPU dictionary learning with the same alternating scheme (the
-    reference's native trainDL role); baseline for config #4."""
+    reference's native trainDL role); baseline for config #4. Same
+    Macenko warm start + iteration count as the device path (fairness)."""
     mask = _np_luminance_mask(I).reshape(-1)
     od = _np_od(I).reshape(-1, 3)
     m = mask.astype(np.float64)
-    D = np.array([[0.65, 0.70, 0.29], [0.07, 0.99, 0.11]])
-    D /= np.linalg.norm(D, axis=1, keepdims=True)
+    D = _np_macenko(I)
+    if not np.isfinite(D).all():
+        D = np.array([[0.65, 0.70, 0.29], [0.07, 0.99, 0.11]])
+        D /= np.linalg.norm(D, axis=1, keepdims=True)
     for _ in range(iters):
         A = _np_lasso(od, D, lam)
         Aw = A * m[:, None]

@@ -28,7 +28,7 @@ class StainConfig:
     brightness_percentile: float = 90.0  # stain_utils.py:193
     lasso_regularizer: float = 0.01  # stain_utils.py:69
     vahadane_regularizer: float = 0.1  # vahadane_stain_extractor.py:19
-    vahadane_iters: int = 30  # fixed-iteration dictionary learning
+    vahadane_iters: int = 12  # fixed-iteration BCD from the Macenko warm start
     angular_percentile: float = 99.0  # macenko_stain_extractor.py:7
     concentration_percentile: float = 99.0  # normalizer.py:36
 

@@ -182,27 +182,24 @@ def _stats_kernel(rgb_ref, out_ref, *, luminosity_threshold: float):
 _NSCAL_B = 16
 
 
-def _apply_kernel(scal_ref, rgb_ref, out_ref, *, q_angle: float,
-                  q_conc: float, n_pixels: int, n_bisect: int):
-    img = pl.program_id(0)
+def _macenko_vectors(od0, od1, od2, mask, n_valid, v, *, q_angle: float,
+                     n_bisect: int):
+    """In-kernel Macenko stain vectors from the eigenplane ``v`` (6 scalars:
+    v1x v1y v1z v2x v2y v2z). Returns H-first row-normalized
+    (h0, h1, h2, e0, e1, e2). Shared by the Macenko apply kernel and the
+    Vahadane dictionary kernel's warm start.
 
-    def sc(i):
-        return scal_ref[img, i]
-
-    lam = sc(14)
-    od0, od1, od2, mask = _od_and_mask(rgb_ref[0], sc(15))
-    n_valid = jnp.sum(mask.astype(jnp.float32))
-
-    # Project OD onto the eigenplane. Mosaic has no atan2/cos/sin, and none
-    # are needed: the angular percentile only requires a MONOTONE function of
-    # the angle (order statistics commute with monotone maps), so we use the
-    # diamond pseudo-angle p(x, y) in [0, 4) shifted to start at the -x axis
-    # like atan2's range, and invert the percentile value back to an exact
-    # unit direction piecewise-linearly. (The only divergence from
-    # np.percentile is the interpolation between two *adjacent pixel* angles
-    # happening in pseudo-angle space — O(gap^2), far below uint8 rounding.)
-    t1 = od0 * sc(0) + od1 * sc(1) + od2 * sc(2)
-    t2 = od0 * sc(3) + od1 * sc(4) + od2 * sc(5)
+    Projects OD onto the eigenplane. Mosaic has no atan2/cos/sin, and none
+    are needed: the angular percentile only requires a MONOTONE function of
+    the angle (order statistics commute with monotone maps), so we use the
+    diamond pseudo-angle p(x, y) in [0, 4) shifted to start at the -x axis
+    like atan2's range, and invert the percentile value back to an exact
+    unit direction piecewise-linearly. (The only divergence from
+    np.percentile is the interpolation between two *adjacent pixel* angles
+    happening in pseudo-angle space — O(gap^2), far below uint8 rounding.)
+    """
+    t1 = od0 * v[0] + od1 * v[1] + od2 * v[2]
+    t2 = od0 * v[3] + od1 * v[4] + od2 * v[5]
     eps = 1e-30
     p_q1 = t2 / (t1 + t2 + eps)
     p_q2 = 1.0 - t1 / (t2 - t1 + eps)
@@ -234,12 +231,12 @@ def _apply_kernel(scal_ref, rgb_ref, out_ref, *, q_angle: float,
 
     c_min, s_min = unit_dir(min_m)
     c_max, s_max = unit_dir(max_m)
-    a0 = sc(0) * c_min + sc(3) * s_min
-    a1 = sc(1) * c_min + sc(4) * s_min
-    a2 = sc(2) * c_min + sc(5) * s_min
-    b0 = sc(0) * c_max + sc(3) * s_max
-    b1_ = sc(1) * c_max + sc(4) * s_max
-    b2_ = sc(2) * c_max + sc(5) * s_max
+    a0 = v[0] * c_min + v[3] * s_min
+    a1 = v[1] * c_min + v[4] * s_min
+    a2 = v[2] * c_min + v[5] * s_min
+    b0 = v[0] * c_max + v[3] * s_max
+    b1_ = v[1] * c_max + v[4] * s_max
+    b2_ = v[2] * c_max + v[5] * s_max
 
     # H first (larger red OD), then row-normalize (:40-44).
     a_first = a0 > b0
@@ -251,8 +248,25 @@ def _apply_kernel(scal_ref, rgb_ref, out_ref, *, q_angle: float,
     e2 = jnp.where(a_first, b2_, a2)
     hn = jax.lax.rsqrt(h0 * h0 + h1 * h1 + h2 * h2 + 1e-12)
     en = jax.lax.rsqrt(e0 * e0 + e1 * e1 + e2 * e2 + 1e-12)
-    h0, h1, h2 = h0 * hn, h1 * hn, h2 * hn
-    e0, e1, e2 = e0 * en, e1 * en, e2 * en
+    return (h0 * hn, h1 * hn, h2 * hn, e0 * en, e1 * en, e2 * en)
+
+
+def _apply_kernel(scal_ref, rgb_ref, out_ref, *, q_angle: float,
+                  q_conc: float, n_pixels: int, n_bisect: int):
+    img = pl.program_id(0)
+
+    def sc(i):
+        return scal_ref[img, i]
+
+    lam = sc(14)
+    od0, od1, od2, mask = _od_and_mask(rgb_ref[0], sc(15))
+    n_valid = jnp.sum(mask.astype(jnp.float32))
+
+    h0, h1, h2, e0, e1, e2 = _macenko_vectors(
+        od0, od1, od2, mask, n_valid,
+        (sc(0), sc(1), sc(2), sc(3), sc(4), sc(5)),
+        q_angle=q_angle, n_bisect=n_bisect,
+    )
 
     # Exact non-negative lasso against the just-built source matrix.
     g11 = h0 * h0 + h1 * h1 + h2 * h2
@@ -294,6 +308,43 @@ def _apply_kernel(scal_ref, rgb_ref, out_ref, *, q_angle: float,
 # ---------------------------------------------------------------------------
 
 
+def eigenplane(rgb_planar, luminosity_threshold: float = 0.8,
+               interpret: bool = False):
+    """Top-2 eigenvector plane of the masked OD covariance, per tile:
+    kernel A (masked moments, one uint8 pass) + XLA glue (np.cov N-1
+    semantics -> analytic eigh -> sign-fixed V2). Returns (B, 3, 2).
+    Shared by the Macenko pipeline and the Vahadane warm start."""
+    B, C, R, L = rgb_planar.shape
+    stats_plane = pl.pallas_call(
+        functools.partial(_stats_kernel,
+                          luminosity_threshold=luminosity_threshold),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, 3, R, L), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
+        interpret=interpret,
+    )(rgb_planar)
+    stats = stats_plane[:, 0, :_NSTAT]
+
+    n = jnp.maximum(stats[:, 0], 1.0)
+    mean = stats[:, 1:4] / n[:, None]
+    sum_sq = jnp.stack(
+        [
+            jnp.stack([stats[:, 4], stats[:, 5], stats[:, 6]], -1),
+            jnp.stack([stats[:, 5], stats[:, 7], stats[:, 8]], -1),
+            jnp.stack([stats[:, 6], stats[:, 8], stats[:, 9]], -1),
+        ],
+        -2,
+    )  # (B, 3, 3)
+    cov = (sum_sq - n[:, None, None] * mean[:, :, None] * mean[:, None, :])
+    cov = cov / jnp.maximum(n - 1.0, 1.0)[:, None, None]
+    _, V = eigh3x3(cov)
+    V2 = V[..., :, (2, 1)]  # (B, 3, 2)
+    return V2 * jnp.where(V2[..., 0:1, :] < 0.0, -1.0, 1.0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("luminosity_threshold", "angular_percentile",
@@ -313,37 +364,7 @@ def macenko_normalize_planar(
     """Full Macenko fit+transform over planar (B, 3, R, 128) uint8 tiles."""
     B, C, R, L = rgb_planar.shape
     assert C == 3 and L == LANES
-
-    # Kernel A: masked OD moments.
-    stats_plane = pl.pallas_call(
-        functools.partial(_stats_kernel,
-                          luminosity_threshold=luminosity_threshold),
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, 3, R, L), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
-        interpret=interpret,
-    )(rgb_planar)
-    stats = stats_plane[:, 0, :_NSTAT]
-
-    # XLA glue: covariance (np.cov N-1 semantics) -> analytic eigh -> V2.
-    n = jnp.maximum(stats[:, 0], 1.0)
-    mean = stats[:, 1:4] / n[:, None]
-    sum_sq = jnp.stack(
-        [
-            jnp.stack([stats[:, 4], stats[:, 5], stats[:, 6]], -1),
-            jnp.stack([stats[:, 5], stats[:, 7], stats[:, 8]], -1),
-            jnp.stack([stats[:, 6], stats[:, 8], stats[:, 9]], -1),
-        ],
-        -2,
-    )  # (B, 3, 3)
-    cov = (sum_sq - n[:, None, None] * mean[:, :, None] * mean[:, None, :])
-    cov = cov / jnp.maximum(n - 1.0, 1.0)[:, None, None]
-    _, V = eigh3x3(cov)
-    V2 = V[..., :, (2, 1)]  # (B, 3, 2)
-    V2 = V2 * jnp.where(V2[..., 0:1, :] < 0.0, -1.0, 1.0)
+    V2 = eigenplane(rgb_planar, luminosity_threshold, interpret=interpret)
 
     tgt = jnp.broadcast_to(
         jnp.asarray(stain_matrix_tgt, jnp.float32).reshape(-1, 2, 3), (B, 2, 3)

@@ -7,8 +7,13 @@ VMEM and runs the full fixed-iteration alternating minimization there:
 each iteration solves the exact closed-form non-negative lasso for every
 pixel and updates the two stain rows by block coordinate descent from
 responsibility-weighted sufficient statistics (the same math as
-:mod:`stainlib_tpu.ops.dictlearn`, scalarized). One uint8 read per tile,
-a 2x3 matrix out; the iteration loop never touches HBM.
+:mod:`stainlib_tpu.ops.dictlearn`, scalarized). The BCD warm-starts from
+the Macenko estimate — derived in the same kernel from the prefetched
+eigenplane while the tile is VMEM-resident — which sits close enough to
+the Vahadane optimum that ~12 alternations replace the ~30 a fixed prior
+needs (same fixed point; convergence study in BASELINE.md). Two uint8
+reads per tile (moments kernel + dictionary kernel), a 2x3 matrix out;
+the iteration loop never touches HBM.
 
 ``vahadane_normalize_planar`` chains this with the fused apply kernel of
 :mod:`stainlib_tpu.kernels.fused_stain` for the complete
@@ -29,26 +34,33 @@ from stainlib_tpu.kernels.fused_stain import (
     fused_normalize_planar,
     to_planar,
 )
-from stainlib_tpu.kernels.macenko_fused import _od_and_mask
+from stainlib_tpu.kernels.macenko_fused import (
+    _macenko_vectors,
+    _od_and_mask,
+    eigenplane,
+)
 
 LANES = 128
 
-# Ruifrok-Johnston H&E prior, row-normalized — the deterministic start of
-# ops/dictlearn.py (bitwise-stable results).
-_INIT = (0.6442, 0.6938, 0.2875, 0.0700, 0.9900, 0.1100)
 
-
-def _dict_kernel(rgb_ref, out_ref, *, regularizer: float, num_iters: int,
-                 luminosity_threshold: float):
+def _dict_kernel(scal_ref, rgb_ref, out_ref, *, regularizer: float,
+                 num_iters: int, luminosity_threshold: float,
+                 n_bisect: int):
+    img = pl.program_id(0)
     od0, od1, od2, mask = _od_and_mask(rgb_ref[0], luminosity_threshold)
     m = mask.astype(jnp.float32)
+    n_valid = jnp.sum(m)
 
-    h_n = jnp.sqrt(_INIT[0] ** 2 + _INIT[1] ** 2 + _INIT[2] ** 2)
-    e_n = jnp.sqrt(_INIT[3] ** 2 + _INIT[4] ** 2 + _INIT[5] ** 2)
-    d_init = (
-        jnp.float32(_INIT[0] / h_n), jnp.float32(_INIT[1] / h_n),
-        jnp.float32(_INIT[2] / h_n), jnp.float32(_INIT[3] / e_n),
-        jnp.float32(_INIT[4] / e_n), jnp.float32(_INIT[5] / e_n),
+    # Warm start: the Macenko estimate from the prefetched eigenplane (the
+    # tile is already in VMEM — one angular-percentile bisection, ~1/3 of a
+    # Macenko apply kernel). It sits ~1e-2 from the Vahadane optimum, so the
+    # BCD below needs ~12 alternations instead of the ~30 the fixed
+    # Ruifrok-Johnston prior required (convergence study in BASELINE.md).
+    d_init = _macenko_vectors(
+        od0, od1, od2, mask, n_valid,
+        (scal_ref[img, 0], scal_ref[img, 1], scal_ref[img, 2],
+         scal_ref[img, 3], scal_ref[img, 4], scal_ref[img, 5]),
+        q_angle=99.0, n_bisect=n_bisect,
     )
 
     def body(_, D):
@@ -122,7 +134,7 @@ def _dict_kernel(rgb_ref, out_ref, *, regularizer: float, num_iters: int,
 
     # Stats-plane output (see macenko_fused kernel A for the layout note):
     # row 0 lanes 0..6 = [d00..d12, n_valid].
-    vals = [d00, d01, d02, d10, d11, d12, jnp.sum(m)]
+    vals = [d00, d01, d02, d10, d11, d12, n_valid]
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     acc = jnp.zeros((8, 128), jnp.float32)
@@ -134,36 +146,47 @@ def _dict_kernel(rgb_ref, out_ref, *, regularizer: float, num_iters: int,
 @functools.partial(
     jax.jit,
     static_argnames=("regularizer", "num_iters", "luminosity_threshold",
-                     "interpret"),
+                     "n_bisect", "interpret"),
 )
 def vahadane_stain_matrix_planar(
     rgb_planar,
     regularizer: float = 0.1,
-    num_iters: int = 30,
+    num_iters: int = 12,
     luminosity_threshold: float = 0.8,
+    n_bisect: int = 14,
     interpret: bool = False,
 ):
     """Per-tile 2x3 Vahadane stain matrices from planar uint8 tiles.
 
-    H-first ordering + final row normalization (``vahadane_stain_extractor.
-    py:40-43``) happen in XLA on the (B, 2, 3) output; empty-mask tiles
-    yield NaNs like the functional path.
+    Two kernels: the shared masked-moments kernel (-> eigenplane in XLA)
+    and the dictionary kernel, which derives the Macenko warm start
+    in-VMEM and runs ``num_iters`` BCD alternations. H-first ordering +
+    final row normalization (``vahadane_stain_extractor.py:40-43``) happen
+    in XLA on the (B, 2, 3) output; empty-mask tiles yield NaNs like the
+    functional path.
     """
     B, C, R, L = rgb_planar.shape
     assert C == 3 and L == LANES
+    V2 = eigenplane(rgb_planar, luminosity_threshold, interpret=interpret)
+    scal = jnp.swapaxes(V2, -1, -2).reshape(B, 6)  # v1 row then v2 row
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, 3, R, L), lambda i, s: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 8, 128), lambda i, s: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
     plane = pl.pallas_call(
         functools.partial(
             _dict_kernel, regularizer=regularizer, num_iters=num_iters,
-            luminosity_threshold=luminosity_threshold,
+            luminosity_threshold=luminosity_threshold, n_bisect=n_bisect,
         ),
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, 3, R, L), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
         interpret=interpret,
-    )(rgb_planar)
+    )(scal, rgb_planar)
     D = plane[:, 0, :6].reshape(B, 2, 3)
     n_valid = plane[:, 0, 6]
 
@@ -178,7 +201,7 @@ def vahadane_stain_matrix_planar(
 def vahadane_normalize_planar(rgb_planar, stain_matrix_tgt, max_c_target,
                               regularizer_fit: float = 0.1,
                               regularizer: float = 0.01,
-                              num_iters: int = 30,
+                              num_iters: int = 12,
                               interpret: bool = False):
     """Full Vahadane fit+transform: dictionary kernel + fused apply kernel."""
     M_src = vahadane_stain_matrix_planar(
