@@ -97,7 +97,10 @@ def main():
            reinhard_normalize(batch, pr.means, pr.stds),
            reinhard.transform(pr, batch))
 
-    # Throughput at 256x256.
+    # Throughput at 256x256 (dependent-chain marginal cost — the relay
+    # defeats naive timing; see bench.chain_tps / BASELINE.md).
+    from bench import chain_tps
+
     big = jax.device_put(np.asarray(to_planar(jnp.asarray(
         he_batch(128, 256, 256, seed=3)))))
     for name, fn in [
@@ -110,12 +113,8 @@ def main():
     ]:
         f = jax.jit(fn)
         f(big).block_until_ready()
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            f(big).block_until_ready()
-            ts.append(time.perf_counter() - t0)
-        print(f"THROUGHPUT {name}: {128 / float(np.median(ts)):.0f} tiles/s")
+        tps = chain_tps(jax, f, big, [()] * 11, 128)
+        print(f"THROUGHPUT {name}: {tps:.0f} tiles/s")
     print("VALIDATE-TPU-OK")
 
 

@@ -35,3 +35,25 @@ def test_macenko_fused_deterministic():
     b = np.asarray(macenko_normalize(batch, params.stain_matrix_target,
                                      params.max_c_target, interpret=True))
     assert (a == b).all()
+
+
+def test_bisect_depth_14_matches_deep_bisection():
+    """The trimmed default (n_bisect=14) must stay within 1 uint8 step of a
+    deep (26-round) bisection — guards the depth/fidelity trade recorded in
+    BASELINE.md."""
+    import numpy as np
+
+    from stainlib_tpu.normalization import extractive
+    from tests.synth import he_batch, he_patch
+
+    target = he_patch(32, 64, seed=200)
+    batch = he_batch(2, 32, 64, seed=201)
+    params = extractive.fit(jnp.asarray(target), method="macenko")
+    deep = np.asarray(macenko_normalize(
+        jnp.asarray(batch), params.stain_matrix_target, params.max_c_target,
+        n_bisect=26, interpret=True))
+    fast = np.asarray(macenko_normalize(
+        jnp.asarray(batch), params.stain_matrix_target, params.max_c_target,
+        n_bisect=14, interpret=True))
+    diff = np.abs(deep.astype(int) - fast.astype(int))
+    assert diff.max() <= 1, diff.max()
