@@ -22,7 +22,9 @@ TILE = 256
 BATCH = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 256
 ITERS = int(sys.argv[sys.argv.index("--iters") + 1]) if "--iters" in sys.argv else 10
 # BASELINE.json configs: 'macenko' (#2, default headline), 'vahadane' (#4),
-# 'reinhard' (#1), 'augment' (#3), or 'streaming' (#5).
+# 'reinhard' (#1), 'augment' (#3), or 'streaming' (#5); plus the model
+# families: 'flow' (residual-flow+GMM train step) and 'dann' (adversarial
+# train step).
 CONFIG = (sys.argv[sys.argv.index("--config") + 1]
           if "--config" in sys.argv else "macenko")
 
@@ -375,6 +377,112 @@ def bench_augment():
     }))
 
 
+def _chain_state_steps(step_fn, state0, n, probe_of):
+    """Time n state-threaded steps (marginal over a 1-step chain)."""
+    def t_chain(k, st):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(k):
+            st, out = step_fn(st)
+        float(probe_of(out))
+        return time.perf_counter() - t0, st
+
+    t1, state0 = t_chain(1, state0)
+    t1b, state0 = t_chain(1, state0)
+    tn, _ = t_chain(n + 1, state0)
+    return (tn - min(t1, t1b)) / n
+
+
+def bench_flow():
+    """Residual-flow + GMM training step (the reference's train_img_horo
+    inner loop): imgs/sec at 32x32 HSD, state-threaded chain timing."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from stainlib_tpu.models.train_flow import (
+        FlowConfig, init_flow_state, make_train_step,
+    )
+    from stainlib_tpu.ops.colorspace import rgb_to_hsd
+
+    batch = BATCH if "--batch" in sys.argv else 64
+    cfg = FlowConfig(image_size=32, n_scales=2, blocks_per_scale=2,
+                     hidden=32, n_clusters=4, warmup_iters=10)
+    hsd = np.asarray(rgb_to_hsd(jnp.asarray(make_tiles(batch, 32, 32, seed=3))))
+    flow, gmm, state, tx = init_flow_state(cfg, jax.random.PRNGKey(0),
+                                           sample_hsd=hsd)
+    step = jax.jit(make_train_step(flow, gmm, cfg, tx))
+    dev_hsd = jax.device_put(hsd)
+    state, loss = step(state, dev_hsd)
+    float(loss)
+    per = _chain_state_steps(lambda st: step(st, dev_hsd), state, ITERS,
+                             lambda loss: loss)
+
+    # Baseline: the same jitted step on the host CPU backend.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        cstate = jax.device_put(jax.tree.map(np.asarray, state), cpu)
+        chsd = jax.device_put(hsd, cpu)
+        cstate, loss = step(cstate, chsd)
+        float(loss)
+        t0 = time.perf_counter()
+        for _ in range(2):
+            cstate, loss = step(cstate, chsd)
+        float(loss)
+        cpu_per = (time.perf_counter() - t0) / 2
+    print(json.dumps({
+        "metric": "flow_train_step_32x32_imgs_per_sec_per_chip",
+        "value": round(batch / per, 2),
+        "unit": "imgs/s",
+        "vs_baseline": round(cpu_per / per, 2),
+    }))
+
+
+def bench_dann():
+    """DANN adversarial train step (3-phase schedule's costliest phase):
+    imgs/sec at 63x63, state-threaded chain timing."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from stainlib_tpu.models import dann
+
+    batch = BATCH if "--batch" in sys.argv else 64
+    rng = np.random.default_rng(0)
+    model, state, tx = dann.init_dann(jax.random.PRNGKey(0), n_domains=8)
+    step = dann.make_train_step(model, tx)
+    imgs = jax.device_put(np.asarray(rng.random((batch, 63, 63, 3)),
+                                     np.float32))
+    mit = jax.device_put(rng.integers(0, 2, batch))
+    dom = jax.device_put(rng.integers(0, 8, batch))
+    state, m = step(state, imgs, mit, dom, *dann.PHASE_ADVERSARIAL)
+    float(m["loss"])
+    per = _chain_state_steps(
+        lambda st: step(st, imgs, mit, dom, *dann.PHASE_ADVERSARIAL),
+        state, ITERS, lambda m: m["loss"])
+
+    # Baseline: the same jitted step on the host CPU backend.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        cstate = jax.device_put(jax.tree.map(np.asarray, state), cpu)
+        ci, cm, cd = (jax.device_put(np.asarray(x), cpu)
+                      for x in (imgs, mit, dom))
+        cstate, m = step(cstate, ci, cm, cd, *dann.PHASE_ADVERSARIAL)
+        float(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(2):
+            cstate, m = step(cstate, ci, cm, cd, *dann.PHASE_ADVERSARIAL)
+        float(m["loss"])
+        cpu_per = (time.perf_counter() - t0) / 2
+    print(json.dumps({
+        "metric": "dann_adversarial_step_63x63_imgs_per_sec_per_chip",
+        "value": round(batch / per, 2),
+        "unit": "imgs/s",
+        "vs_baseline": round(cpu_per / per, 2),
+    }))
+
+
 def main():
     if CONFIG == "streaming":
         return bench_streaming()
@@ -382,6 +490,10 @@ def main():
         return bench_reinhard()
     if CONFIG == "augment":
         return bench_augment()
+    if CONFIG == "flow":
+        return bench_flow()
+    if CONFIG == "dann":
+        return bench_dann()
     import jax
 
     # Remote TPU compiles are slow; persist them across runs.
