@@ -39,7 +39,10 @@ def main(pid: int, nproc: int, port: str) -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    # Own cache dir: the shared /tmp/jax_cache carries CPU AOT entries
+    # written by relay-side processes with a different host-feature profile;
+    # loading those can SIGILL (observed as a flaky rank crash).
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_mp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from stainlib_tpu.parallel.mesh import (
