@@ -41,9 +41,14 @@ def _check_uint8_image(I):
 def _use_fused(I) -> bool:
     """Route single-image calls through the fused Pallas kernels on TPU
     (identical output within one uint8 step, far faster + cheaper compiles);
-    the functional jnp path covers CPU and lane-unaligned shapes."""
+    the functional jnp path covers CPU, lane-unaligned shapes, and images
+    too large for a whole tile to sit in VMEM (the kernels keep the full
+    tile + f32 working set resident; 512x512 is validated, beyond that the
+    pure-XLA path streams instead)."""
+    n_pixels = I.shape[0] * I.shape[1]
     return (jax.default_backend() == "tpu"
-            and (I.shape[0] * I.shape[1]) % 128 == 0)
+            and n_pixels % 128 == 0
+            and n_pixels <= 512 * 512)
 
 
 class LuminosityThresholdTissueLocator:
