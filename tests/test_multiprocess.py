@@ -44,7 +44,9 @@ def test_two_process_flow_step():
     outs = []
     try:
         for p in procs:
-            out, err = p.communicate(timeout=420)
+            # Generous bound: a cold compile cache on a loaded 1-vCPU host
+            # can take several minutes (observed flake at 420).
+            out, err = p.communicate(timeout=900)
             outs.append((p.returncode, out, err))
     finally:
         for p in procs:
