@@ -25,16 +25,23 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from stainlib_tpu.data import native  # noqa: E402
+from stainlib_tpu.data.preprocessing import build_pyramid  # noqa: E402
 
 
-def _downsample2x(img: np.ndarray) -> np.ndarray:
-    """2x box filter (pads odd edges by replication)."""
-    h, w = img.shape[:2]
-    if h % 2 or w % 2:
-        img = np.pad(img, ((0, h % 2), (0, w % 2), (0, 0)), mode="edge")
-    x = img.astype(np.uint16)
-    return ((x[0::2, 0::2] + x[0::2, 1::2] + x[1::2, 0::2] + x[1::2, 1::2]
-             + 2) // 4).astype(np.uint8)
+def _to_uint8(arr: np.ndarray) -> np.ndarray:
+    """Normalize a decoded page to uint8 without wrapping.
+
+    astype(np.uint8) on 16-bit scanner exports wraps modulo 256; rescale
+    integer dtypes by their full range and floats by [0, 1] instead."""
+    if arr.dtype == np.uint8:
+        return arr
+    if np.issubdtype(arr.dtype, np.unsignedinteger):
+        scale = 255.0 / np.iinfo(arr.dtype).max
+        return (arr.astype(np.float32) * scale + 0.5).astype(np.uint8)
+    if np.issubdtype(arr.dtype, np.floating):
+        hi = 255.0 if arr.max() > 1.0 else 1.0
+        return np.clip(arr / hi * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    raise ValueError(f"unsupported page dtype {arr.dtype}")
 
 
 def read_levels(path: str, min_dim: int):
@@ -60,9 +67,18 @@ def read_levels(path: str, min_dim: int):
                 for page in tf.pages:
                     arr = page.asarray()
                     if arr.ndim == 3 and arr.shape[-1] >= 3:
-                        levels.append(arr[..., :3].astype(np.uint8))
+                        levels.append(_to_uint8(arr[..., :3]))
+            # Drop associated images (.svs label/macro pages) whose aspect
+            # ratio deviates >10% from the widest page — same rule as the
+            # native reader (tiffreader.cpp tf_open).
+            if levels:
+                base = max(levels, key=lambda a: a.shape[1])
+                aspect0 = base.shape[1] / base.shape[0]
+                levels = [a for a in levels
+                          if 0.9 * aspect0 <= a.shape[1] / a.shape[0]
+                          <= 1.1 * aspect0]
         except Exception:
-            pass
+            levels = []
     if not levels:
         try:
             slide = native.open_slide(path)
@@ -80,7 +96,9 @@ def read_levels(path: str, min_dim: int):
 
     levels.sort(key=lambda a: -a.shape[1])
     while min(levels[-1].shape[:2]) >= 2 * min_dim:
-        levels.append(_downsample2x(levels[-1]))
+        # One 2x mean-pool step, shared with array_to_wsiraw's pyramid
+        # builder so converter- and preprocessing-built levels agree.
+        levels.append(build_pyramid(levels[-1], 2)[1])
     return levels
 
 

@@ -43,9 +43,13 @@ def run(args):
     import jax
 
     if args.cpu:
+        # No persistent cache on CPU: /tmp/jax_cache carries AOT entries
+        # compiled for the relay side's host profile, which can SIGILL here
+        # (see tests/_mp_worker.py); CPU compiles are cheap anyway.
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    elif jax.default_backend() != "cpu":
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
     import numpy as np
 

@@ -284,6 +284,7 @@ int tf_sample_tiles(void* handle, int level, int tile, int n, uint64_t seed,
                     uint8_t* out, int64_t* coords) {
   auto* s = static_cast<Slide*>(handle);
   if (!s) return -1;
+  if (level < 0 || level >= static_cast<int>(s->levels.size())) return -2;
   const LevelInfo& lv = s->levels[level];
   if (lv.width < static_cast<uint32_t>(tile) ||
       lv.height < static_cast<uint32_t>(tile))

@@ -34,7 +34,8 @@ MAGIC = 0x31525357  # "WSR1"
 def build_native(force: bool = False) -> Optional[str]:
     """Compile the shared library if needed. Returns its path or None."""
     global _build_failed
-    if os.path.exists(_LIB_PATH) and not force:
+    if (os.path.exists(_LIB_PATH) and not force
+            and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)):
         return _LIB_PATH
     try:
         subprocess.run(
@@ -425,12 +426,17 @@ class TiffSlide:
                 mask = np.ascontiguousarray(mask.astype(np.uint8))
                 m_ptr = mask.ctypes.data_as(ctypes.c_void_p)
                 mh, mw = mask.shape
-            self._lib.tf_sample_tiles(
+            rc = self._lib.tf_sample_tiles(
                 self._handle, level, tile, n, seed, white_mean_max,
                 stddev_min, m_ptr, mw, mh, mask_scale, max_attempts,
                 out.ctypes.data_as(ctypes.c_void_p),
                 coords.ctypes.data_as(ctypes.c_void_p),
             )
+            if rc < 0:
+                raise IndexError(
+                    f"tf_sample_tiles failed (rc={rc}): level {level} of "
+                    f"{self.num_levels}-level slide"
+                )
             return out, coords
         rng = np.random.default_rng(seed)
         W, H = self.level_size(level)

@@ -42,6 +42,7 @@ class DevicePrefetcher:
         self._emit = threading.Condition()
         self._next_emit = 0
         self._stopped = False
+        self._err_seq = float("inf")  # first failing sequence number
         self._active = workers
 
         def put_to_device(batch):
@@ -52,8 +53,10 @@ class DevicePrefetcher:
             )
 
         def worker():
+            seq = None
             try:
                 while True:
+                    seq = None  # reset: an iterator error has no seq of its own
                     with self._iter_lock:
                         if self._stopped:
                             return
@@ -65,9 +68,14 @@ class DevicePrefetcher:
                         self._seq += 1
                     batch = put_to_device(batch)
                     with self._emit:
-                        while self._next_emit != seq and not self._stopped:
+                        # Batches sequenced BEFORE the first failure still
+                        # emit (the consumer sees the same prefix as a
+                        # single-worker run); only later ones are dropped.
+                        while (self._next_emit != seq
+                               and not (self._stopped
+                                        and seq > self._err_seq)):
                             self._emit.wait()
-                        if self._stopped:
+                        if self._stopped and seq > self._err_seq:
                             return
                         self._q.put(batch)
                         self._next_emit += 1
@@ -76,6 +84,8 @@ class DevicePrefetcher:
                 with self._emit:
                     if self._err is None:
                         self._err = e
+                    fail_at = seq if seq is not None else self._seq
+                    self._err_seq = min(self._err_seq, fail_at)
                     self._stopped = True
                     self._emit.notify_all()
             finally:

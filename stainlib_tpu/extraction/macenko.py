@@ -48,7 +48,13 @@ def stain_matrix_macenko(
     n_pix = od.shape[-3] * od.shape[-2]
     od = od.reshape(lead + (n_pix, 3))
     m = mask.reshape(lead + (n_pix,)).astype(jnp.float32)
+    return stain_matrix_macenko_from_od(od, m, angular_percentile)
 
+
+def stain_matrix_macenko_from_od(od, m, angular_percentile: float = 99.0):
+    """Macenko estimation from precomputed flattened OD (..., N, 3) and
+    float tissue weights (..., N) — lets callers that already hold both
+    (e.g. the Vahadane warm start) skip recomputing mask/OD."""
     # Weighted covariance over tissue pixels; denominator N-1 matches np.cov
     # (rowvar=False) at macenko_stain_extractor.py:22.
     n = jnp.sum(m, axis=-1)

@@ -52,9 +52,9 @@ def stain_matrix_vahadane(
     mask = tm.mask.reshape(lead + (n_pix,))
 
     if isinstance(init, str) and init == "macenko":
-        from stainlib_tpu.extraction.macenko import stain_matrix_macenko
+        from stainlib_tpu.extraction.macenko import stain_matrix_macenko_from_od
 
-        mac = stain_matrix_macenko(rgb, luminosity_threshold)
+        mac = stain_matrix_macenko_from_od(od, mask.astype(jnp.float32))
         # Degenerate tiles (empty/near-empty mask) fall back to the prior;
         # their output is NaN-masked below anyway.
         prior = jnp.broadcast_to(jnp.asarray(_HE_INIT), mac.shape)

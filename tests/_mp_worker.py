@@ -13,32 +13,18 @@ single-process mesh.
 Usage: python tests/_mp_worker.py <process_id> <num_processes> <port>
 """
 
-import os
 import sys
 
 
-def _make_tiles(n, h, w, seed=0):
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
-    he = np.array([[0.55, 0.72, 0.42], [0.17, 0.80, 0.57]])
-    he /= np.linalg.norm(he, axis=1, keepdims=True)
-    C = rng.random((n, h, w, 2)) * 1.5
-    img = 255.0 * np.exp(-(C @ he))
-    return np.clip(img, 0, 255).astype(np.uint8)
-
-
 def main(pid: int, nproc: int, port: str) -> None:
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=2"
-        ).strip()
+    # Shared force-CPU-mesh recipe + synthetic tiles (safe pre-jax import:
+    # __graft_entry__'s module top only imports numpy).
+    from __graft_entry__ import _force_cpu_mesh, _make_tiles
+
+    _force_cpu_mesh(2)
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
     # Own cache dir: the shared /tmp/jax_cache carries CPU AOT entries
     # written by relay-side processes with a different host-feature profile;
     # loading those can SIGILL (observed as a flaky rank crash).

@@ -138,3 +138,23 @@ def test_device_prefetcher_multiworker_propagates_errors():
     with pytest.raises(ValueError, match="boom"):
         for _ in feed:
             pass
+
+
+def test_device_prefetcher_multiworker_error_keeps_prefix():
+    """Batches sequenced BEFORE the first failure must still be delivered
+    (same prefix as a single-worker run), not dropped by workers that were
+    holding them when another worker failed."""
+
+    def transform(b):
+        if int(b[0]) == 7:
+            raise ValueError("boom at 7")
+        return b
+
+    batches = [np.full((4,), i, np.int32) for i in range(10)]
+    feed = DevicePrefetcher(iter(batches), depth=4, workers=3,
+                            transform=transform)
+    got = []
+    with pytest.raises(ValueError, match="boom at 7"):
+        for b in feed:
+            got.append(int(np.asarray(b)[0]))
+    assert got == list(range(7)), got
