@@ -184,7 +184,32 @@ def stain_augment_pop(
 
 def stain_augment(rgb, key, method: str = "macenko", sigma1: float = 0.2,
                   sigma2: float = 0.2, augment_background: bool = False):
-    """fit + one pop in a single fused call (for in-loop training augment)."""
+    """fit + one pop in a single fused call (for in-loop training augment).
+
+    On TPU, lane-aligned VMEM-sized macenko batches route through the fused
+    Pallas kernel (``kernels.macenko_fused.macenko_augment``: in-kernel
+    estimation + lasso + tissue-gated perturbation, ~7x the functional
+    path); same per-image alpha/beta draws for a given key either way."""
+    rgb = jnp.asarray(rgb)
+    lead = jnp.shape(rgb)[:-3]
+    n_pixels = rgb.shape[-3] * rgb.shape[-2]
+    if (method.lower() == "macenko" and len(lead) <= 1
+            and jax.default_backend() == "tpu"
+            and n_pixels % 128 == 0 and n_pixels <= 512 * 512):
+        from stainlib_tpu.kernels.macenko_fused import macenko_augment
+
+        k_a, k_b = jax.random.split(key)
+        alpha = jax.random.uniform(k_a, lead + (2,), jnp.float32,
+                                   1.0 - sigma1, 1.0 + sigma1)
+        beta = jax.random.uniform(k_b, lead + (2,), jnp.float32,
+                                  -sigma2, sigma2)
+        batch = rgb if lead else rgb[None]
+        if batch.dtype != jnp.uint8:
+            batch = to_uint8(batch)
+        out = macenko_augment(batch,
+                              alpha.reshape(-1, 2), beta.reshape(-1, 2),
+                              augment_background=augment_background)
+        return out if lead else out[0]
     params = stain_augment_fit(rgb, method)
     return stain_augment_pop(params, key, sigma1, sigma2, augment_background)
 

@@ -251,6 +251,29 @@ def _macenko_vectors(od0, od1, od2, mask, n_valid, v, *, q_angle: float,
     return (h0 * hn, h1 * hn, h2 * hn, e0 * en, e1 * en, e2 * en)
 
 
+def _lasso2(od0, od1, od2, h, e, lam):
+    """Exact closed-form non-negative K=2 lasso per pixel against the scalar
+    stain rows ``h``/``e`` (each a 3-tuple). Returns (c1, c2)."""
+    h0, h1, h2 = h
+    e0, e1, e2 = e
+    g11 = h0 * h0 + h1 * h1 + h2 * h2
+    g22 = e0 * e0 + e1 * e1 + e2 * e2
+    g12 = h0 * e0 + h1 * e1 + h2 * e2
+    det = jnp.maximum(g11 * g22 - g12 * g12, 1e-12)
+    bb1 = od0 * h0 + od1 * h1 + od2 * h2 - lam
+    bb2 = od0 * e0 + od1 * e1 + od2 * e2 - lam
+    c1_full = (g22 * bb1 - g12 * bb2) / det
+    c2_full = (g11 * bb2 - g12 * bb1) / det
+    ok_full = (c1_full >= 0.0) & (c2_full >= 0.0)
+    c1_only = jnp.maximum(bb1, 0.0) / g11
+    ok_1 = (bb1 >= 0.0) & (g12 * c1_only - bb2 >= 0.0)
+    c2_only = jnp.maximum(bb2, 0.0) / g22
+    ok_2 = (bb2 >= 0.0) & (g12 * c2_only - bb1 >= 0.0)
+    c1 = jnp.where(ok_full, c1_full, jnp.where(ok_1, c1_only, 0.0))
+    c2 = jnp.where(ok_full, c2_full, jnp.where(~ok_1 & ok_2, c2_only, 0.0))
+    return c1, c2
+
+
 def _apply_kernel(scal_ref, rgb_ref, out_ref, *, q_angle: float,
                   q_conc: float, n_pixels: int, n_bisect: int):
     img = pl.program_id(0)
@@ -268,22 +291,7 @@ def _apply_kernel(scal_ref, rgb_ref, out_ref, *, q_angle: float,
         q_angle=q_angle, n_bisect=n_bisect,
     )
 
-    # Exact non-negative lasso against the just-built source matrix.
-    g11 = h0 * h0 + h1 * h1 + h2 * h2
-    g22 = e0 * e0 + e1 * e1 + e2 * e2
-    g12 = h0 * e0 + h1 * e1 + h2 * e2
-    det = jnp.maximum(g11 * g22 - g12 * g12, 1e-12)
-    bb1 = od0 * h0 + od1 * h1 + od2 * h2 - lam
-    bb2 = od0 * e0 + od1 * e1 + od2 * e2 - lam
-    c1_full = (g22 * bb1 - g12 * bb2) / det
-    c2_full = (g11 * bb2 - g12 * bb1) / det
-    ok_full = (c1_full >= 0.0) & (c2_full >= 0.0)
-    c1_only = jnp.maximum(bb1, 0.0) / g11
-    ok_1 = (bb1 >= 0.0) & (g12 * c1_only - bb2 >= 0.0)
-    c2_only = jnp.maximum(bb2, 0.0) / g22
-    ok_2 = (bb2 >= 0.0) & (g12 * c2_only - bb1 >= 0.0)
-    c1 = jnp.where(ok_full, c1_full, jnp.where(ok_1, c1_only, 0.0))
-    c2 = jnp.where(ok_full, c2_full, jnp.where(~ok_1 & ok_2, c2_only, 0.0))
+    c1, c2 = _lasso2(od0, od1, od2, (h0, h1, h2), (e0, e1, e2), lam)
 
     # 99th-pct per stain over ALL pixels (normalizer.py:46-48: the rescale
     # uses unmasked concentrations).
@@ -405,4 +413,108 @@ def macenko_normalize(rgb, stain_matrix_tgt, max_c_target, **kw):
     B, H, W, _ = rgb.shape
     out = macenko_normalize_planar(to_planar(rgb), stain_matrix_tgt,
                                    max_c_target, **kw)
+    return from_planar(out, H, W)
+
+
+# ---------------------------------------------------------------------------
+# Fused stain augmentation (StainAugmentor, augmenter.py:403-448)
+# ---------------------------------------------------------------------------
+
+# per-image scalar table for the augment kernel:
+# [0:6]  V2 columns, [6:8] alpha (H, E), [8:10] beta (H, E),
+# [10] lasso regularizer, [11] luminosity threshold,
+# [12] augment_background flag
+_NSCAL_AUG = 13
+
+
+def _augment_kernel(scal_ref, rgb_ref, out_ref, *, q_angle: float,
+                    n_bisect: int):
+    img = pl.program_id(0)
+
+    def sc(i):
+        return scal_ref[img, i]
+
+    od0, od1, od2, mask = _od_and_mask(rgb_ref[0], sc(11))
+    n_valid = jnp.sum(mask.astype(jnp.float32))
+    h0, h1, h2, e0, e1, e2 = _macenko_vectors(
+        od0, od1, od2, mask, n_valid,
+        (sc(0), sc(1), sc(2), sc(3), sc(4), sc(5)),
+        q_angle=q_angle, n_bisect=n_bisect,
+    )
+    c1, c2 = _lasso2(od0, od1, od2, (h0, h1, h2), (e0, e1, e2), sc(10))
+
+    # Per-stain alpha/beta on tissue pixels (all pixels when
+    # augment_background), then reconstruct through the SOURCE matrix —
+    # StainAugmentor.pop (augmenter.py:428-448); no percentile rescale.
+    gate = mask | (sc(12) > 0.5)
+    c1a = jnp.where(gate, c1 * sc(6) + sc(8), c1)
+    c2a = jnp.where(gate, c2 * sc(7) + sc(9), c2)
+    rows = ((h0, e0), (h1, e1), (h2, e2))
+    for ch in range(3):
+        od_out = c1a * rows[ch][0] + c2a * rows[ch][1]
+        val = 255.0 * jnp.exp(-od_out)
+        out_ref[0, ch] = jnp.clip(val, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("luminosity_threshold", "angular_percentile",
+                     "regularizer", "augment_background", "n_bisect",
+                     "interpret"),
+)
+def macenko_augment_planar(
+    rgb_planar,
+    alpha,
+    beta,
+    luminosity_threshold: float = 0.8,
+    angular_percentile: float = 99.0,
+    regularizer: float = 0.01,
+    augment_background: bool = False,
+    n_bisect: int = 14,
+    interpret: bool = False,
+):
+    """Fused StainAugmentor fit+pop over planar (B, 3, R, 128) uint8 tiles.
+
+    ``alpha``/``beta``: (B, 2) per-image per-stain draws (the caller holds
+    the PRNG contract, matching ``stain_augment_pop``). Per tile: in-kernel
+    Macenko estimation, exact lasso, tissue-gated ``C*alpha+beta``, and
+    Beer-Lambert reconstruction through the tile's own stain matrix.
+    """
+    B, C, R, L = rgb_planar.shape
+    assert C == 3 and L == LANES
+    V2 = eigenplane(rgb_planar, luminosity_threshold, interpret=interpret)
+    scal = jnp.concatenate(
+        [
+            jnp.swapaxes(V2, -1, -2).reshape(B, 6),
+            jnp.broadcast_to(jnp.asarray(alpha, jnp.float32).reshape(-1, 2),
+                             (B, 2)),
+            jnp.broadcast_to(jnp.asarray(beta, jnp.float32).reshape(-1, 2),
+                             (B, 2)),
+            jnp.full((B, 1), regularizer, jnp.float32),
+            jnp.full((B, 1), luminosity_threshold, jnp.float32),
+            jnp.full((B, 1), 1.0 if augment_background else 0.0, jnp.float32),
+        ],
+        axis=1,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, 3, R, L), lambda i, s: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 3, R, L), lambda i, s: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_augment_kernel, q_angle=angular_percentile,
+                          n_bisect=n_bisect),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 3, R, L), jnp.uint8),
+        interpret=interpret,
+    )(scal, rgb_planar)
+
+
+def macenko_augment(rgb, alpha, beta, **kw):
+    """(B, H, W, 3) uint8 convenience wrapper around the planar kernel."""
+    B, H, W, _ = rgb.shape
+    out = macenko_augment_planar(to_planar(rgb), alpha, beta, **kw)
     return from_planar(out, H, W)

@@ -57,3 +57,50 @@ def test_bisect_depth_14_matches_deep_bisection():
         n_bisect=14, interpret=True))
     diff = np.abs(deep.astype(int) - fast.astype(int))
     assert diff.max() <= 1, diff.max()
+
+
+def test_fused_stain_augment_matches_functional():
+    """Fused StainAugmentor fit+pop (in-kernel estimation + tissue-gated
+    C*alpha+beta + source-matrix reconstruction) vs the functional path with
+    the SAME key -> same per-image draws; agreement within 1 uint8 step."""
+    import jax
+
+    from stainlib_tpu.augmentation import functional as F
+    from stainlib_tpu.kernels.macenko_fused import macenko_augment
+    from tests.synth import he_batch
+
+    batch = he_batch(2, 32, 64, seed=210)
+    key = jax.random.PRNGKey(3)
+    want = np.asarray(F.stain_augment(jnp.asarray(batch), key))
+
+    k_a, k_b = jax.random.split(key)
+    alpha = jax.random.uniform(k_a, (2, 2), jnp.float32, 0.8, 1.2)
+    beta = jax.random.uniform(k_b, (2, 2), jnp.float32, -0.2, 0.2)
+    got = np.asarray(macenko_augment(jnp.asarray(batch), alpha, beta,
+                                     interpret=True))
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert (diff <= 1).mean() > 0.99, (diff.max(), (diff > 1).mean())
+    assert diff.max() <= 4
+
+
+def test_fused_stain_augment_background_gate():
+    """augment_background=False leaves non-tissue pixels at their
+    reconstruction through unperturbed concentrations."""
+    import jax
+
+    from stainlib_tpu.kernels.macenko_fused import macenko_augment
+    from tests.synth import he_batch
+
+    batch = he_batch(1, 32, 64, seed=211)
+    alpha = jnp.asarray([[1.5, 1.5]], jnp.float32)
+    beta = jnp.asarray([[0.3, 0.3]], jnp.float32)
+    gated = np.asarray(macenko_augment(jnp.asarray(batch), alpha, beta,
+                                       interpret=True))
+    ungated = np.asarray(macenko_augment(jnp.asarray(batch), alpha, beta,
+                                         augment_background=True,
+                                         interpret=True))
+    # The white background strip (top fifth, see he_batch) must differ:
+    # gated keeps it near-white, ungated darkens it via beta.
+    top_g = gated[0, :4].astype(int)
+    top_u = ungated[0, :4].astype(int)
+    assert top_g.mean() > top_u.mean() + 10, (top_g.mean(), top_u.mean())
