@@ -193,11 +193,14 @@ def stain_augment(rgb, key, method: str = "macenko", sigma1: float = 0.2,
     rgb = jnp.asarray(rgb)
     lead = jnp.shape(rgb)[:-3]
     n_pixels = rgb.shape[-3] * rgb.shape[-2]
-    if (method.lower() == "macenko" and len(lead) <= 1
+    if (method.lower() in ("macenko", "vahadane") and len(lead) <= 1
             and jax.default_backend() == "tpu"
             and n_pixels % 128 == 0 and n_pixels <= 512 * 512):
         from stainlib_tpu.kernels.macenko_fused import macenko_augment
+        from stainlib_tpu.kernels.vahadane_fused import vahadane_augment
 
+        fused = (macenko_augment if method.lower() == "macenko"
+                 else vahadane_augment)
         k_a, k_b = jax.random.split(key)
         alpha = jax.random.uniform(k_a, lead + (2,), jnp.float32,
                                    1.0 - sigma1, 1.0 + sigma1)
@@ -206,9 +209,8 @@ def stain_augment(rgb, key, method: str = "macenko", sigma1: float = 0.2,
         batch = rgb if lead else rgb[None]
         if batch.dtype != jnp.uint8:
             batch = to_uint8(batch)
-        out = macenko_augment(batch,
-                              alpha.reshape(-1, 2), beta.reshape(-1, 2),
-                              augment_background=augment_background)
+        out = fused(batch, alpha.reshape(-1, 2), beta.reshape(-1, 2),
+                    augment_background=augment_background)
         return out if lead else out[0]
     params = stain_augment_fit(rgb, method)
     return stain_augment_pop(params, key, sigma1, sigma2, augment_background)

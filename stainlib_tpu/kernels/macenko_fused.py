@@ -428,19 +428,26 @@ _NSCAL_AUG = 13
 
 
 def _augment_kernel(scal_ref, rgb_ref, out_ref, *, q_angle: float,
-                    n_bisect: int):
+                    n_bisect: int, estimate: bool = True):
+    """``estimate=True``: scal[0:6] is the eigenplane and the Macenko stain
+    matrix is derived in-kernel; ``estimate=False``: scal[0:6] IS the
+    2x3 stain matrix rows (e.g. a Vahadane dictionary computed upstream)."""
     img = pl.program_id(0)
 
     def sc(i):
         return scal_ref[img, i]
 
     od0, od1, od2, mask = _od_and_mask(rgb_ref[0], sc(11))
-    n_valid = jnp.sum(mask.astype(jnp.float32))
-    h0, h1, h2, e0, e1, e2 = _macenko_vectors(
-        od0, od1, od2, mask, n_valid,
-        (sc(0), sc(1), sc(2), sc(3), sc(4), sc(5)),
-        q_angle=q_angle, n_bisect=n_bisect,
-    )
+    if estimate:
+        n_valid = jnp.sum(mask.astype(jnp.float32))
+        h0, h1, h2, e0, e1, e2 = _macenko_vectors(
+            od0, od1, od2, mask, n_valid,
+            (sc(0), sc(1), sc(2), sc(3), sc(4), sc(5)),
+            q_angle=q_angle, n_bisect=n_bisect,
+        )
+    else:
+        h0, h1, h2 = sc(0), sc(1), sc(2)
+        e0, e1, e2 = sc(3), sc(4), sc(5)
     c1, c2 = _lasso2(od0, od1, od2, (h0, h1, h2), (e0, e1, e2), sc(10))
 
     # Per-stain alpha/beta on tissue pixels (all pixels when
@@ -518,3 +525,54 @@ def macenko_augment(rgb, alpha, beta, **kw):
     B, H, W, _ = rgb.shape
     out = macenko_augment_planar(to_planar(rgb), alpha, beta, **kw)
     return from_planar(out, H, W)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("luminosity_threshold", "regularizer",
+                     "augment_background", "interpret"),
+)
+def augment_with_matrix_planar(
+    rgb_planar,
+    stain_matrix,
+    alpha,
+    beta,
+    luminosity_threshold: float = 0.8,
+    regularizer: float = 0.01,
+    augment_background: bool = False,
+    interpret: bool = False,
+):
+    """Fused StainAugmentor pop given per-tile 2x3 stain matrices computed
+    upstream (e.g. the Vahadane dictionary kernel): lasso + tissue-gated
+    ``C*alpha+beta`` + reconstruction, one uint8 read/write."""
+    B, C, R, L = rgb_planar.shape
+    assert C == 3 and L == LANES
+    M = jnp.asarray(stain_matrix, jnp.float32).reshape(B, 6)
+    scal = jnp.concatenate(
+        [
+            M,
+            jnp.broadcast_to(jnp.asarray(alpha, jnp.float32).reshape(-1, 2),
+                             (B, 2)),
+            jnp.broadcast_to(jnp.asarray(beta, jnp.float32).reshape(-1, 2),
+                             (B, 2)),
+            jnp.full((B, 1), regularizer, jnp.float32),
+            jnp.full((B, 1), luminosity_threshold, jnp.float32),
+            jnp.full((B, 1), 1.0 if augment_background else 0.0, jnp.float32),
+        ],
+        axis=1,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, 3, R, L), lambda i, s: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 3, R, L), lambda i, s: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_augment_kernel, q_angle=99.0, n_bisect=1,
+                          estimate=False),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 3, R, L), jnp.uint8),
+        interpret=interpret,
+    )(scal, rgb_planar)

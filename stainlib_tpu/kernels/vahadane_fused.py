@@ -220,3 +220,39 @@ def vahadane_normalize(rgb, stain_matrix_tgt, max_c_target, **kw):
     out = vahadane_normalize_planar(to_planar(rgb), stain_matrix_tgt,
                                     max_c_target, **kw)
     return from_planar(out, H, W)
+
+
+def vahadane_augment_planar(rgb_planar, alpha, beta,
+                            luminosity_threshold: float = 0.8,
+                            regularizer_fit: float = 0.1,
+                            regularizer: float = 0.01,
+                            num_iters: int = 12,
+                            augment_background: bool = False,
+                            interpret: bool = False):
+    """Fused Vahadane StainAugmentor fit+pop: dictionary kernel for the
+    per-tile stain matrix, then the shared augment-apply kernel
+    (``macenko_fused.augment_with_matrix_planar``). Empty-mask tiles fall
+    back to the Ruifrok-Johnston prior (their content is background and
+    passes through the tissue gate unperturbed anyway)."""
+    from stainlib_tpu.ops.dictlearn import _HE_INIT
+
+    M = vahadane_stain_matrix_planar(
+        rgb_planar, regularizer=regularizer_fit, num_iters=num_iters,
+        interpret=interpret,
+    )
+    prior = jnp.broadcast_to(jnp.asarray(_HE_INIT, jnp.float32), M.shape)
+    M = jnp.where(jnp.isnan(M), prior, M)
+    from stainlib_tpu.kernels.macenko_fused import augment_with_matrix_planar
+
+    return augment_with_matrix_planar(
+        rgb_planar, M, alpha, beta,
+        luminosity_threshold=luminosity_threshold, regularizer=regularizer,
+        augment_background=augment_background, interpret=interpret,
+    )
+
+
+def vahadane_augment(rgb, alpha, beta, **kw):
+    """(B, H, W, 3) uint8 convenience wrapper."""
+    B, H, W, _ = rgb.shape
+    out = vahadane_augment_planar(to_planar(rgb), alpha, beta, **kw)
+    return from_planar(out, H, W)

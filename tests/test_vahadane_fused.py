@@ -45,3 +45,27 @@ def test_fused_vahadane_empty_mask_nan():
     M = np.asarray(vahadane_stain_matrix_planar(to_planar(white),
                                                 interpret=True))
     assert np.isnan(M).all()
+
+
+def test_fused_vahadane_augment_matches_functional():
+    """Fused Vahadane StainAugmentor (dict kernel + shared augment-apply
+    kernel) vs the functional fit+pop with identical per-image draws."""
+    import jax
+
+    from stainlib_tpu.augmentation.functional import (
+        stain_augment_fit, stain_augment_pop)
+    from stainlib_tpu.kernels.vahadane_fused import vahadane_augment
+
+    batch = he_batch(2, 32, 64, seed=220)
+    key = jax.random.PRNGKey(5)
+    params = stain_augment_fit(jnp.asarray(batch), "vahadane")
+    want = np.asarray(stain_augment_pop(params, key))
+
+    k_a, k_b = jax.random.split(key)
+    alpha = jax.random.uniform(k_a, (2, 2), jnp.float32, 0.8, 1.2)
+    beta = jax.random.uniform(k_b, (2, 2), jnp.float32, -0.2, 0.2)
+    got = np.asarray(vahadane_augment(jnp.asarray(batch), alpha, beta,
+                                      interpret=True))
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert (diff <= 1).mean() > 0.99, (diff.max(), (diff > 1).mean())
+    assert diff.max() <= 4
