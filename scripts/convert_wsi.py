@@ -39,8 +39,15 @@ def _to_uint8(arr: np.ndarray) -> np.ndarray:
         scale = 255.0 / np.iinfo(arr.dtype).max
         return (arr.astype(np.float32) * scale + 0.5).astype(np.uint8)
     if np.issubdtype(arr.dtype, np.floating):
-        hi = 255.0 if arr.max() > 1.0 else 1.0
-        return np.clip(arr / hi * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        # Scale convention is ambiguous for float pages. Treat as [0,255]
+        # only when clearly above the [0,1] convention (cutoff 2.0, not
+        # 1.0): a [0,1] page with a stray 1.x value clips instead of being
+        # crushed to near-black, and only a float page that is BOTH
+        # 255-scaled and near-black (max <= 2/255 brightness) — where the
+        # two conventions are visually indistinguishable — misclassifies.
+        if arr.max() > 2.0:
+            return np.clip(arr + 0.5, 0, 255).astype(np.uint8)
+        return np.clip(arr * 255.0 + 0.5, 0, 255).astype(np.uint8)
     raise ValueError(f"unsupported page dtype {arr.dtype}")
 
 
@@ -89,10 +96,20 @@ def read_levels(path: str, min_dim: int):
         except Exception:
             pass
     if not levels:
-        from PIL import Image
+        try:
+            from PIL import Image
 
-        with Image.open(path) as im:
-            levels.append(np.asarray(im.convert("RGB")))
+            with Image.open(path) as im:
+                levels.append(np.asarray(im.convert("RGB")))
+        except Exception as e:
+            raise ValueError(
+                f"cannot decode {path!r}: no available decoder could read "
+                "it (tried OpenSlide, tifffile, native libtiff, PIL). "
+                "OpenSlide-only containers (.mrxs, .ndpi, DICOM-WSI) "
+                "require openslide-python; install it and re-run this "
+                "converter to produce a .wsiraw/.tif the framework "
+                "streams natively."
+            ) from e
 
     levels.sort(key=lambda a: -a.shape[1])
     while min(levels[-1].shape[:2]) >= 2 * min_dim:

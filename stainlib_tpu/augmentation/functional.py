@@ -186,10 +186,17 @@ def stain_augment(rgb, key, method: str = "macenko", sigma1: float = 0.2,
                   sigma2: float = 0.2, augment_background: bool = False):
     """fit + one pop in a single fused call (for in-loop training augment).
 
-    On TPU, lane-aligned VMEM-sized macenko batches route through the fused
-    Pallas kernel (``kernels.macenko_fused.macenko_augment``: in-kernel
-    estimation + lasso + tissue-gated perturbation, ~7x the functional
-    path); same per-image alpha/beta draws for a given key either way."""
+    On TPU, lane-aligned VMEM-sized macenko/vahadane batches route through
+    the fused Pallas kernels (``kernels.macenko_fused.macenko_augment`` /
+    ``kernels.vahadane_fused.vahadane_augment``: in-kernel estimation +
+    lasso + tissue-gated perturbation, ~7-10x the functional path). The
+    per-image alpha/beta draws for a given key are identical on both
+    routes, but the *pixels* are not bitwise equal: the fused kernels'
+    bisection percentiles and scalarized solvers differ from the
+    functional path by up to ~4 uint8 steps on ~1% of pixels, so results
+    are backend- and shape-dependent. Pipelines that need bitwise-stable
+    output across backends should call ``stain_augment_fit`` +
+    ``stain_augment_pop`` directly (always the functional route)."""
     rgb = jnp.asarray(rgb)
     lead = jnp.shape(rgb)[:-3]
     n_pixels = rgb.shape[-3] * rgb.shape[-2]

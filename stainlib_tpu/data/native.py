@@ -35,7 +35,8 @@ def build_native(force: bool = False) -> Optional[str]:
     """Compile the shared library if needed. Returns its path or None."""
     global _build_failed
     if (os.path.exists(_LIB_PATH) and not force
-            and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)):
+            and (not os.path.exists(_SRC)  # stripped install: lib only
+                 or os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC))):
         return _LIB_PATH
     try:
         subprocess.run(
@@ -112,7 +113,8 @@ def get_tiff_lib() -> Optional[ctypes.CDLL]:
         if _tiff_build_failed:
             return None
         if not os.path.exists(_TIFF_LIB_PATH) or (
-            os.path.getmtime(_TIFF_LIB_PATH) < os.path.getmtime(_TIFF_SRC)
+            os.path.exists(_TIFF_SRC)  # stripped install: lib only
+            and os.path.getmtime(_TIFF_LIB_PATH) < os.path.getmtime(_TIFF_SRC)
         ):
             try:
                 subprocess.run(

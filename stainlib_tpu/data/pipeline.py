@@ -60,11 +60,19 @@ class DevicePrefetcher:
                     with self._iter_lock:
                         if self._stopped:
                             return
+                        # Record the slot this next() fills BEFORE calling
+                        # it: an iterator raise is then pinned to this
+                        # position even if the shared iterator yields again
+                        # to another worker afterwards (keeps the
+                        # same-prefix-as-single-worker guarantee).
+                        seq = self._seq
                         try:
                             batch = next(self._iter)
                         except StopIteration:
                             return
-                        seq = self._seq
+                        except BaseException:
+                            self._seq += 1  # the error consumes the slot
+                            raise
                         self._seq += 1
                     batch = put_to_device(batch)
                     with self._emit:

@@ -238,7 +238,7 @@ def vahadane_augment_planar(rgb_planar, alpha, beta,
 
     M = vahadane_stain_matrix_planar(
         rgb_planar, regularizer=regularizer_fit, num_iters=num_iters,
-        interpret=interpret,
+        luminosity_threshold=luminosity_threshold, interpret=interpret,
     )
     prior = jnp.broadcast_to(jnp.asarray(_HE_INIT, jnp.float32), M.shape)
     M = jnp.where(jnp.isnan(M), prior, M)

@@ -87,7 +87,24 @@ def main(pid: int, nproc: int, port: str) -> None:
         state,
     )
 
-    new_state, loss = step(gstate, global_hsd)
+    # De-flake: AOT-compile BEFORE the first collective, then hold every
+    # rank at a coordination-service barrier (10-minute deadline) until all
+    # executables are ready. Without this, a rank that compiles fast enters
+    # the Gloo rendezvous and trips its internal ~30 s GetKeyValue deadline
+    # while the peer is still compiling on a loaded host (the reference's
+    # equivalent synchronization is the hvd.join() barrier,
+    # train_img_horo.py:452-454).
+    compiled = step.lower(gstate, global_hsd).compile()
+    try:
+        from jax._src import distributed as _dist
+
+        _dist.global_state.client.wait_at_barrier(
+            "stainlib_mp_post_compile", timeout_in_ms=600_000
+        )
+    except (ImportError, AttributeError):  # pragma: no cover - API drift
+        pass  # fall back to the raw (flaky-under-load) behavior
+
+    new_state, loss = compiled(gstate, global_hsd)
     jax.block_until_ready(loss)
     loss = float(loss)  # fully replicated -> addressable on every rank
     assert np.isfinite(loss), loss
