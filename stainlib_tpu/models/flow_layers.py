@@ -166,12 +166,17 @@ class LipschitzNet(nn.Module):
     Activation is CLipSwish-free plain ``swish/1.1`` whose Lipschitz bound
     is 1 (swish's slope is bounded by ~1.0998); combined with per-conv
     coeff the whole branch is a contraction, the iResBlock requirement.
+
+    ``kernel_sizes`` sets the per-layer conv kernels — the reference's
+    ``--kernels`` flag, default '3-1-3' (``train_img_horo.py:110``); its
+    published ~500k-param model uses the 3-1-3 bottleneck.
     """
 
     hidden: int = 64
     n_layers: int = 3
     coeff: float = 0.98
     input_shape: Sequence[int] = ()
+    kernel_sizes: Sequence[int] = (3, 3, 3)
 
     @nn.compact
     def __call__(self, x, update: bool = False):
@@ -183,6 +188,7 @@ class LipschitzNet(nn.Module):
             c_out = c if i == self.n_layers - 1 else self.hidden
             y = SpectralNormConv(
                 features=c_out, coeff=self.coeff,
+                kernel_size=self.kernel_sizes[i % len(self.kernel_sizes)],
                 input_shape=(h, w, c_in), name=f"conv{i}",
             )(y, update=update)
             if i != self.n_layers - 1:

@@ -44,11 +44,13 @@ class IResBlock(nn.Module):
     n_probes: int = 1
     n_fixed_point_iters: int = 40
     input_shape: Sequence[int] = ()
+    kernel_sizes: Sequence[int] = (3, 3, 3)
+    remat_logdet: bool = False
 
     def setup(self):
         self.g = LipschitzNet(
             hidden=self.hidden, n_layers=self.n_layers, coeff=self.coeff,
-            input_shape=self.input_shape,
+            input_shape=self.input_shape, kernel_sizes=self.kernel_sizes,
         )
 
     def __call__(self, x, key, update: bool = False, exact_logdet: bool = False):
@@ -60,7 +62,8 @@ class IResBlock(nn.Module):
             logdet = _exact_logdet(g_fn, x)
         else:
             logdet = _power_series_logdet(g_fn, x, key, self.n_power_series,
-                                          self.n_probes)
+                                          self.n_probes,
+                                          remat=self.remat_logdet)
         return y, logdet
 
     def inverse(self, y):
@@ -74,10 +77,17 @@ class IResBlock(nn.Module):
         return jax.lax.fori_loop(0, self.n_fixed_point_iters, body, y)
 
 
-def _power_series_logdet(g_fn, x, key, n_terms, n_probes: int = 1):
+def _power_series_logdet(g_fn, x, key, n_terms, n_probes: int = 1,
+                         remat: bool = False):
     """log det(I + Jg) ~ sum_k (-1)^{k+1}/k E_v[v^T Jg^k v], Hutchinson with
     Rademacher probes, fixed truncation; jvp-chained under scan and vmapped
-    over probes (training uses 1 probe like the reference; tests use many)."""
+    over probes (training uses 1 probe like the reference; tests use many).
+
+    ``remat=True`` checkpoints the scan body: each jvp's conv intermediates
+    are recomputed in the backward pass instead of being saved per series
+    term — the memory-efficient-backprop role of the reference's
+    ``--mem-eff`` flags (``train_img_horo.py:91-98``), required to fit the
+    reference-capacity 256x256 model in HBM."""
 
     def single(probe_key):
         v0 = jax.random.rademacher(probe_key, x.shape, x.dtype)
@@ -91,6 +101,8 @@ def _power_series_logdet(g_fn, x, key, n_terms, n_probes: int = 1):
             )
             return (jv, acc + term), None
 
+        if remat:
+            body = jax.checkpoint(body)
         ks = jnp.arange(1, n_terms + 1)
         (_, logdet), _ = jax.lax.scan(
             body, (v0, jnp.zeros((x.shape[0],), x.dtype)), ks
@@ -132,6 +144,8 @@ class ResidualFlow(nn.Module):
     input_shape: Sequence[int] = (32, 32, 1)  # (H, W, C) at the input
     squeeze_first: bool = False
     logit_alpha: float = 1e-5
+    kernel_sizes: Sequence[int] = (3, 3, 3)
+    remat_logdet: bool = False
 
     def setup(self):
         self.init_layer = LogitTransform(alpha=self.logit_alpha)
@@ -149,6 +163,8 @@ class ResidualFlow(nn.Module):
                         hidden=self.hidden, coeff=self.coeff,
                         n_power_series=self.n_power_series,
                         input_shape=(h, w, c),
+                        kernel_sizes=self.kernel_sizes,
+                        remat_logdet=self.remat_logdet,
                     )
                 )
                 bnorms.append(ActNorm())

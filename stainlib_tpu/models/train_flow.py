@@ -57,6 +57,23 @@ class FlowConfig:
     ema_decay: float = 0.999
     nvals: int = 256
     remat: bool = False  # rematerialize the flow forward in the backward pass
+    kernel_sizes: tuple = (3, 3, 3)  # the reference's --kernels (3-1-3 pub.)
+    remat_logdet: bool = False  # checkpoint each power-series term's jvp
+
+
+def reference_capacity() -> "FlowConfig":
+    """The published-model configuration: ~500k parameters on 256x256
+    patches (``color-information/README.md`` segmentation table reports
+    500,388 params; ctor ``train_img_horo.py:324-358`` with the default
+    ``--idim 128 --kernels 3-1-3``). This config lands at 502,855 params
+    (flow 491,835 + ConvGMM 11,020): 3 scales x 5 iResBlocks, hidden 128,
+    3-1-3 bottleneck kernels, with per-term logdet remat so the 256^2
+    activations fit HBM."""
+    return FlowConfig(
+        image_size=256, n_scales=3, blocks_per_scale=5, hidden=128,
+        kernel_sizes=(3, 1, 3), n_power_series=6, n_clusters=4,
+        warmup_iters=200, remat_logdet=True,
+    )
 
 
 class FlowState(NamedTuple):
@@ -74,6 +91,8 @@ def build_models(cfg: FlowConfig):
         hidden=cfg.hidden, coeff=cfg.coeff,
         n_power_series=cfg.n_power_series,
         input_shape=(cfg.image_size, cfg.image_size, 1),
+        kernel_sizes=tuple(cfg.kernel_sizes),
+        remat_logdet=cfg.remat_logdet,
     )
     gmm = ConvGMM(n_clusters=cfg.n_clusters, latent_channels=1)
     return flow, gmm

@@ -1,6 +1,8 @@
 """Flow trainer: EMA, checkpoint round trip, bpd descent, sharded step,
 template transfer + NMI metrics."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -9,6 +11,7 @@ import pytest
 from stainlib_tpu.models import color_eval
 from stainlib_tpu.models.train_flow import (
     FlowConfig,
+    build_models,
     encode,
     init_flow_state,
     make_train_step,
@@ -151,3 +154,50 @@ def test_nmi_metrics():
     sd, cv = color_eval.nmi_sd_cv([0.8, 0.9, 1.0])
     np.testing.assert_allclose(sd, np.std([0.8, 0.9, 1.0]), rtol=1e-6)
     np.testing.assert_allclose(cv, sd / 0.9, rtol=1e-6)
+
+
+def test_kernel_sizes_and_remat_logdet_step():
+    # The reference-capacity knobs (3-1-3 bottleneck kernels + per-term
+    # logdet remat) at toy scale: one step runs, loss finite, and the
+    # remat'd logdet equals the unremat'd one for identical params/keys.
+    cfg = FlowConfig(image_size=16, n_scales=2, blocks_per_scale=2, hidden=8,
+                     n_power_series=3, kernel_sizes=(3, 1, 3),
+                     remat_logdet=True, warmup_iters=2)
+    hsd = np.asarray(
+        rgb_to_hsd(jnp.asarray(he_batch(4, 16, 16, seed=5, background_frac=0.0))), np.float32)
+    flow, gmm, state, tx = init_flow_state(
+        cfg, jax.random.PRNGKey(0), sample_hsd=hsd)
+    step = make_train_step(flow, gmm, cfg, tx)
+    state2, loss = step(state, jnp.asarray(hsd))
+    assert np.isfinite(float(loss))
+
+    cfg_plain = dataclasses.replace(cfg, remat_logdet=False)
+    flow2, gmm2, state_b, _ = init_flow_state(
+        cfg_plain, jax.random.PRNGKey(0), sample_hsd=hsd)
+    key = jax.random.PRNGKey(3)
+    za, lda = flow.apply(
+        {"params": state.params["flow"], "spectral": state.spectral},
+        jnp.clip(hsd[..., 2:3] / 4.0, 1e-4, 1 - 1e-4), key)
+    zb, ldb = flow2.apply(
+        {"params": state_b.params["flow"], "spectral": state_b.spectral},
+        jnp.clip(hsd[..., 2:3] / 4.0, 1e-4, 1 - 1e-4), key)
+    np.testing.assert_allclose(np.asarray(za), np.asarray(zb), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lda), np.asarray(ldb), atol=1e-4)
+
+
+def test_reference_capacity_param_count():
+    from stainlib_tpu.models.train_flow import reference_capacity
+
+    cfg = reference_capacity()
+    flow, gmm = build_models(cfg)
+    x0 = jnp.full((1, cfg.image_size, cfg.image_size, 1), 0.5)
+    k = jax.random.PRNGKey(0)
+    fvars = jax.eval_shape(lambda: flow.init(k, x0, k))
+    z_shape = jax.eval_shape(lambda v: flow.apply(v, x0, k)[0], fvars)
+    gvars = jax.eval_shape(lambda: gmm.init(
+        k, jnp.zeros(z_shape.shape),
+        jnp.zeros((1, cfg.image_size, cfg.image_size, 2))))
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(fvars["params"]))
+    n += sum(int(np.prod(p.shape)) for p in jax.tree.leaves(gvars["params"]))
+    # Within 1% of the published 500,388 (README segmentation table).
+    assert abs(n - 500_388) / 500_388 < 0.01, n
