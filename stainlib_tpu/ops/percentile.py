@@ -13,12 +13,71 @@ the CPU reference bit-for-bit in float64 and to float32 rounding on device.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+# Above this many elements per reduction axis, percentiles switch from an
+# XLA sort (O(N log N), the dominant cost of the functional path on large
+# fields — the r2 "512^2 cliff") to streaming count-bisection: ~26
+# bandwidth-bound reductions resolve both interpolation ranks essentially
+# exactly. 512^2 itself stays on the sort so existing golden trajectories
+# are unchanged.
+_BISECT_THRESHOLD = 512 * 512
+_BISECT_ITERS = 24  # range * 2^-24 bracket: at/below f32 resolution
+_BIG = 3.4e38
+
+
+def _percentile_bisect(values, mask, q, n_iters=_BISECT_ITERS):
+    """np.percentile(values[mask], q) along the last axis by count
+    bisection: one O(N) count per iteration brackets the rank-floor order
+    statistic; both interpolation ranks are then snapped EXACTLY to data
+    values (max-in-bracket / min-above-bracket), so agreement with the sort
+    path is limited only by f32 interpolation arithmetic. O(n_iters) full
+    passes, no sort, no N log N — the TPU-friendly form for large fields.
+    """
+    big = jnp.float32(_BIG)
+    v = jnp.asarray(values, jnp.float32)
+    if mask is None:
+        vm = v
+        n = jnp.full(v.shape[:-1], v.shape[-1], jnp.float32)
+    else:
+        vm = jnp.where(mask, v, big)
+        n = jnp.sum(mask, axis=-1).astype(jnp.float32)
+    rank = jnp.asarray(q, jnp.float32) / 100.0 * jnp.maximum(n - 1.0, 0.0)
+    rank_lo = jnp.floor(rank)
+    frac = rank - rank_lo
+
+    lo = jnp.min(jnp.where(vm < big, vm, big), axis=-1)
+    hi = jnp.max(jnp.where(vm < big, vm, -big), axis=-1)
+    hi = jnp.maximum(hi, lo)
+
+    def body(_, state):
+        lo, hi = state
+        mid = 0.5 * (lo + hi)
+        cnt = jnp.sum(vm <= mid[..., None], axis=-1)
+        take = cnt > rank_lo  # v_(k) <= mid
+        return jnp.where(take, lo, mid), jnp.where(take, mid, hi)
+
+    _, hi_a = jax.lax.fori_loop(0, n_iters, body, (lo, hi))
+    # Snap rank k to the largest data value inside the bracket, and rank
+    # k+1 to either the same bracket or the smallest value above it.
+    v_a = jnp.max(jnp.where(vm <= hi_a[..., None], vm, -big), axis=-1)
+    cnt_hi = jnp.sum(vm <= hi_a[..., None], axis=-1)
+    succ = jnp.min(jnp.where(vm > hi_a[..., None], vm, big), axis=-1)
+    v_b = jnp.where(cnt_hi > rank_lo + 1.0, v_a, succ)
+    out = v_a * (1.0 - frac) + v_b * frac
+    # Empty mask: +inf, matching the sort path's sentinel propagation.
+    return jnp.where(n > 0.0, out, jnp.inf)
 
 
 def percentile(x, q, axis=None):
-    """``np.percentile`` equivalent (linear interpolation)."""
-    return jnp.percentile(jnp.asarray(x, jnp.float32), q, axis=axis)
+    """``np.percentile`` equivalent (linear interpolation). Large reduction
+    axes route through streaming count-bisection instead of a sort."""
+    x = jnp.asarray(x, jnp.float32)
+    if (axis is not None and isinstance(axis, int)
+            and x.shape[axis] > _BISECT_THRESHOLD):
+        return _percentile_bisect(jnp.moveaxis(x, axis, -1), None, q)
+    return jnp.percentile(x, q, axis=axis)
 
 
 def masked_percentile(values, mask, q):
@@ -28,9 +87,13 @@ def masked_percentile(values, mask, q):
     [0,100]. Masked-out entries are sorted to the end as +inf; the linear
     interpolation index is computed against the *valid* count, matching
     ``np.percentile(values[mask], q)``. With an empty mask the result is
-    undefined (+inf propagates); callers gate on the valid count.
+    undefined (+inf propagates); callers gate on the valid count. Fields
+    larger than 512^2 use streaming count-bisection instead of the sort.
     """
-    v = jnp.where(mask, jnp.asarray(values, jnp.float32), jnp.inf)
+    values = jnp.asarray(values, jnp.float32)
+    if values.shape[-1] > _BISECT_THRESHOLD:
+        return _percentile_bisect(values, mask, q)
+    v = jnp.where(mask, values, jnp.inf)
     v = jnp.sort(v, axis=-1)
     n = jnp.sum(mask, axis=-1).astype(jnp.float32)
     rank = jnp.asarray(q, jnp.float32) / 100.0 * jnp.maximum(n - 1.0, 0.0)
