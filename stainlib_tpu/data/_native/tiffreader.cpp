@@ -17,6 +17,7 @@
 #include <algorithm>
 #include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <mutex>
 #include <string>
@@ -81,6 +82,13 @@ bool set_level(TIFF* t, const LevelInfo& lv) {
 }
 
 int thread_count() {
+  // STAINLIB_TIFF_THREADS overrides the decode-thread count: used by the
+  // host-scaling benchmark and to cap threads on shared TPU-VM hosts.
+  const char* env = std::getenv("STAINLIB_TIFF_THREADS");
+  if (env != nullptr) {
+    int v = std::atoi(env);
+    if (v > 0) return v;
+  }
   unsigned n = std::thread::hardware_concurrency();
   return n == 0 ? 1 : static_cast<int>(n);
 }
@@ -271,6 +279,36 @@ int tf_read_region(void* handle, int level, int64_t x, int64_t y, int64_t w,
   int rc = read_region_locked(s, t, level, x, y, w, h, out);
   s->release(t);
   return rc;
+}
+
+// Batched region decode for the exhaustive eval stream (the reference
+// tester's 100k-tile deployment loop, data_utils.py:1): one call decodes n
+// same-sized regions concurrently across the slide's handle pool, so eval
+// streaming gets the same multi-threaded decode as train-mode sampling.
+// Returns the number of regions decoded successfully (failures are filled
+// mid-gray so the batch stays usable, mirroring the sampler's slot
+// substitution).
+int tf_read_regions(void* handle, int level, const int64_t* xs,
+                    const int64_t* ys, int n, int64_t w, int64_t h,
+                    uint8_t* out) {
+  auto* s = static_cast<Slide*>(handle);
+  if (!s || level < 0 || level >= static_cast<int>(s->levels.size()))
+    return -1;
+  std::atomic<int> ok(0);
+  parallel_for(n, [&](int64_t i) {
+    uint8_t* buf = out + i * w * h * 3;
+    TIFF* t = s->acquire();
+    if (!t) {
+      std::memset(buf, 0x80, w * h * 3);
+      return;
+    }
+    if (read_region_locked(s, t, level, xs[i], ys[i], w, h, buf) == 0)
+      ok.fetch_add(1);
+    else
+      std::memset(buf, 0x80, w * h * 3);
+    s->release(t);
+  });
+  return ok.load();
 }
 
 // Random tissue tiles with the trainer-mode rejection rules

@@ -144,6 +144,11 @@ def get_tiff_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
         ]
         lib.tf_read_region.restype = ctypes.c_int
+        lib.tf_read_regions.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.tf_read_regions.restype = ctypes.c_int
         lib.tf_sample_tiles.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_uint64, ctypes.c_double, ctypes.c_double,
@@ -411,6 +416,29 @@ class TiffSlide:
         x1, y1 = min(x + w, lv.shape[1]), min(y + h, lv.shape[0])
         if x0 < x1 and y0 < y1:
             out[y0 - y : y1 - y, x0 - x : x1 - x] = lv[y0:y1, x0:x1]
+        return out
+
+    def read_regions(self, level: int, coords, w: int, h: int):
+        """Batched ``read_region``: (n, h, w, 3) uint8 decoded concurrently
+        across the handle pool (one C call, threaded) — the eval-stream
+        counterpart of the threaded train-mode sampler (the reference
+        tester's exhaustive deployment loop, ``data_utils.py:1``). Failed
+        regions come back mid-gray, like the sampler's slot substitution."""
+        coords = np.ascontiguousarray(coords, np.int64).reshape(-1, 2)
+        n = len(coords)
+        out = np.empty((n, h, w, 3), np.uint8)
+        if self.native:
+            xs = np.ascontiguousarray(coords[:, 0])
+            ys = np.ascontiguousarray(coords[:, 1])
+            rc = self._lib.tf_read_regions(
+                self._handle, level, xs.ctypes.data_as(ctypes.c_void_p),
+                ys.ctypes.data_as(ctypes.c_void_p), n, w, h,
+                out.ctypes.data_as(ctypes.c_void_p),
+            )
+            assert rc >= 0, rc
+            return out
+        for i, (x, y) in enumerate(coords):
+            out[i] = self.read_region(level, int(x), int(y), w, h)
         return out
 
     def sample_tiles(self, level: int, tile: int, n: int, seed: int = 0,

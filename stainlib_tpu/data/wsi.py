@@ -243,7 +243,15 @@ class WsiSampler:
             chunk = coords[i : i + cfg.batch_size]
             while len(chunk) < cfg.batch_size:
                 chunk.append(chunk[-1])
-            yield np.stack([
-                slide.read_region(0, x, y, cfg.tile, cfg.tile)
-                for x, y in chunk
-            ])
+            if hasattr(slide, "read_regions"):
+                # One C call per batch: regions decode concurrently across
+                # the slide's handle pool (tf_read_regions), matching the
+                # train-mode sampler's threading instead of one serial
+                # decode per coordinate.
+                yield slide.read_regions(0, np.asarray(chunk, np.int64),
+                                         cfg.tile, cfg.tile)
+            else:
+                yield np.stack([
+                    slide.read_region(0, x, y, cfg.tile, cfg.tile)
+                    for x, y in chunk
+                ])

@@ -158,3 +158,46 @@ def test_open_slide_dispatch(tmp_path, levels):
     native.write_wsiraw(r, levels[:1])
     assert isinstance(native.open_slide(t), native.TiffSlide)
     assert isinstance(native.open_slide(r), native.RawSlide)
+
+
+@requires_native
+def test_batched_read_regions_matches_serial(tmp_path, levels):
+    path = str(tmp_path / "batched.tif")
+    native.write_tiff_pyramid(path, levels, tile=128, compression="deflate")
+    s = native.TiffSlide(path)
+    coords = np.asarray([[0, 0], [37, 53], [500, 300], [590, 390]], np.int64)
+    got = s.read_regions(0, coords, 64, 48)
+    want = np.stack([s.read_region(0, int(x), int(y), 64, 48)
+                     for x, y in coords])
+    np.testing.assert_array_equal(got, want)
+    s.close()
+
+
+@requires_native
+def test_decode_thread_env_override(tmp_path, levels, monkeypatch):
+    # STAINLIB_TIFF_THREADS is read per parallel_for call, so an env change
+    # after load still takes effect; results must be identical.
+    path = str(tmp_path / "threads.tif")
+    native.write_tiff_pyramid(path, levels, tile=128, compression="deflate")
+    s = native.TiffSlide(path)
+    coords = np.asarray([[i * 16, i * 8] for i in range(12)], np.int64)
+    monkeypatch.setenv("STAINLIB_TIFF_THREADS", "1")
+    one = s.read_regions(0, coords, 96, 96)
+    monkeypatch.setenv("STAINLIB_TIFF_THREADS", "4")
+    four = s.read_regions(0, coords, 96, 96)
+    np.testing.assert_array_equal(one, four)
+    s.close()
+
+
+@requires_native
+def test_eval_tiles_uses_batched_decode(tmp_path):
+    lv = _smooth_levels(seed=3)
+    p = str(tmp_path / "eval.svs")
+    native.write_tiff_pyramid(p, lv, tile=128, compression="deflate")
+    sampler = WsiSampler([p], cfg=SamplerConfig(tile=64, batch_size=4),
+                         worker=0, num_workers=1)
+    batches = list(sampler.eval_tiles(0))
+    assert batches and all(b.shape == (4, 64, 64, 3) for b in batches)
+    # The TIFF slide exposes the threaded batch reader eval_tiles uses.
+    slide = sampler._slides[0]
+    assert hasattr(slide, "read_regions")
