@@ -103,6 +103,21 @@ def main():
 
     big = jax.device_put(np.asarray(to_planar(jnp.asarray(
         he_batch(128, 256, 256, seed=3)))))
+    # Fit-once/pop-many StainAugmentor: the per-pop kernel with a cached
+    # per-tile stain matrix (augmenter.py:416-448 contract).
+    from stainlib_tpu.augmentation.functional import (
+        stain_augment_fit_fused, stain_augment_pop_fused,
+    )
+    from stainlib_tpu.kernels.macenko_fused import augment_with_matrix_planar
+
+    st = stain_augment_fit_fused(np.asarray(he_batch(128, 256, 256, seed=4)),
+                                 method="vahadane")
+    alpha0 = jnp.full((128, 2), 1.05, jnp.float32)
+    beta0 = jnp.full((128, 2), 0.02, jnp.float32)
+
+    def pop_step(x):
+        return augment_with_matrix_planar(x, st.stain_matrix, alpha0, beta0)
+
     for name, fn in [
         ("macenko", lambda x: macenko_normalize_planar(
             x, pm.stain_matrix_target, pm.max_c_target)),
@@ -110,11 +125,27 @@ def main():
             x, pv.stain_matrix_target, pv.max_c_target)),
         ("reinhard", lambda x: reinhard_normalize_planar(
             x, pr.means, pr.stds)),
+        ("vahadane-pop (fit-once)", pop_step),
     ]:
         f = jax.jit(fn)
         f(big).block_until_ready()
         tps = chain_tps(jax, f, big, [()] * 11, 128)
         print(f"THROUGHPUT {name}: {tps:.0f} tiles/s")
+
+    # The flagship fused path under a (1-device) TPU mesh: shard_map route
+    # compiles + executes the real Pallas kernel and matches the direct
+    # call exactly.
+    from jax.sharding import Mesh
+    from stainlib_tpu.parallel.stain_sharded import normalize_batch_sharded
+
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+    sharded = np.asarray(normalize_batch_sharded(
+        mesh, jnp.asarray(target), batch, method="macenko", fused=True))
+    direct = np.asarray(macenko_normalize(
+        batch, pm.stain_matrix_target, pm.max_c_target))
+    d = np.abs(sharded.astype(int) - direct.astype(int))
+    print(f"RESULT sharded-fused-vs-direct: max diff {d.max()}")
+    assert d.max() == 0, "sharded fused path diverged from direct kernel"
     print("VALIDATE-TPU-OK")
 
 

@@ -182,6 +182,68 @@ def stain_augment_pop(
     return reconstruct(C_aug, params.stain_matrix[..., None, None, :, :])
 
 
+class FusedStainAugmentState(NamedTuple):
+    """Device-resident fit-once/pop-many state for the fused kernels: the
+    planar uint8 tiles plus their per-tile 2x3 stain matrices. The heavy
+    estimation (Vahadane in-VMEM dictionary learning / Macenko eigh +
+    angular percentiles) runs ONCE at fit; every ``pop`` is then a single
+    lasso+perturb+reconstruct kernel pass (the reference's
+    fit-once/pop-many contract, ``augmenter.py:416-448``)."""
+
+    planar: jnp.ndarray  # (B, 3, R, 128) uint8
+    stain_matrix: jnp.ndarray  # (B, 2, 3)
+    h: int
+    w: int
+
+
+def stain_augment_fit_fused(rgb, method: str = "macenko",
+                            luminosity_threshold: float = 0.8,
+                            interpret: bool = False) -> FusedStainAugmentState:
+    """Fused fit: estimate per-tile stain matrices once and keep the tiles
+    device-resident in planar layout. ``rgb``: (B, H, W, 3) uint8,
+    lane-aligned (H*W % 128 == 0), whole tile must fit VMEM (<= 512^2)."""
+    from stainlib_tpu.kernels.fused_stain import to_planar
+    from stainlib_tpu.kernels.vahadane_fused import vahadane_stain_matrix_planar
+    from stainlib_tpu.ops.dictlearn import _HE_INIT
+
+    rgb = jnp.asarray(rgb)
+    if rgb.dtype != jnp.uint8:
+        rgb = to_uint8(rgb)
+    B, H, W, _ = rgb.shape
+    planar = to_planar(rgb)
+    if method.lower() == "vahadane":
+        M = vahadane_stain_matrix_planar(
+            planar, luminosity_threshold=luminosity_threshold,
+            interpret=interpret)
+        prior = jnp.broadcast_to(jnp.asarray(_HE_INIT, jnp.float32), M.shape)
+        M = jnp.where(jnp.isnan(M), prior, M)
+    else:
+        M = _EXTRACTORS[method.lower()](rgb,
+                                        luminosity_threshold=luminosity_threshold)
+    return FusedStainAugmentState(planar=planar, stain_matrix=M, h=H, w=W)
+
+
+def stain_augment_pop_fused(state: FusedStainAugmentState, key,
+                            sigma1: float = 0.2, sigma2: float = 0.2,
+                            augment_background: bool = False,
+                            interpret: bool = False):
+    """One augmented draw from fused fit state: a single kernel pass (lasso
+    + tissue-gated C*alpha+beta + reconstruction through the cached stain
+    matrix). Same per-image draw semantics as ``stain_augment_pop``."""
+    from stainlib_tpu.kernels.fused_stain import from_planar
+    from stainlib_tpu.kernels.macenko_fused import augment_with_matrix_planar
+
+    B = state.planar.shape[0]
+    k_a, k_b = jax.random.split(key)
+    alpha = jax.random.uniform(k_a, (B, 2), jnp.float32,
+                               1.0 - sigma1, 1.0 + sigma1)
+    beta = jax.random.uniform(k_b, (B, 2), jnp.float32, -sigma2, sigma2)
+    out = augment_with_matrix_planar(
+        state.planar, state.stain_matrix, alpha, beta,
+        augment_background=augment_background, interpret=interpret)
+    return from_planar(out, state.h, state.w)
+
+
 def stain_augment(rgb, key, method: str = "macenko", sigma1: float = 0.2,
                   sigma2: float = 0.2, augment_background: bool = False):
     """fit + one pop in a single fused call (for in-loop training augment).

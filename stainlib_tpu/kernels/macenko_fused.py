@@ -1,31 +1,31 @@
-"""Fully-fused Macenko fit + transform: two Pallas kernels per tile batch.
+"""Fully-fused Macenko fit + transform: ONE Pallas kernel per tile.
 
 The complete per-tile pipeline of ``ExtractiveStainNormalizer('macenko')``
-(``normalizer.py:39-50`` + ``macenko_stain_extractor.py:7-44``) at HBM
-speed-of-light:
+(``normalizer.py:39-50`` + ``macenko_stain_extractor.py:7-44``) on a single
+VMEM-resident copy of the tile — one uint8 HBM read, one uint8 write:
 
-  kernel A (1 uint8 read / 16 floats out):  LAB-luminance tissue mask and
-     masked OD moments (count, sum, second moments) per tile;
-  XLA glue (negligible):                    3x3 covariance -> closed-form
-     eigh -> top-2 eigenvector plane;
-  kernel B (1 uint8 read / 1 uint8 write):  OD projection angles, masked
-     angular-percentile bounds by in-VMEM bisection (dynamic ranks — the
-     tissue count is data-dependent), extreme stain vectors, H/E ordering
-     and row normalization in scalar registers, exact closed-form
-     non-negative lasso, 99th-pct concentration rescale (bisection again)
-     and Beer-Lambert reconstruction through the target matrix.
+  * LAB-luminance tissue mask + OD (polynomial gamma, no transcendental
+    mask math);
+  * masked OD moments -> 3x3 covariance -> in-kernel scalar eigh (Newton
+    on the depressed characteristic cubic: Mosaic has no acos, and doing
+    this in-kernel retired the separate moments kernel plus ~3.5 us/tile
+    of XLA small-op eigh glue measured in r3);
+  * OD projection angles, masked angular percentiles and the 99th-pct
+    concentration rescale by single-chain count bisection with exact
+    successor recovery (see ``_multi_masked_percentile``);
+  * extreme stain vectors, H/E ordering and row normalization in scalar
+    registers, exact closed-form non-negative lasso, and Beer-Lambert
+    reconstruction through the target matrix.
 
 Against the pure-XLA path this removes two 65k-element sorts per tile, all
 intermediate HBM materialization (OD field, angle field, concentration
-field), and every device<->device reshuffle: ~3 passes of uint8 traffic per
-tile total. Layout: planar (B, 3, R, 128); see ``fused_stain.to_planar`` /
-``data.native.pack_planar`` for producers.
+field), and every device<->device reshuffle. Layout: planar (B, 3, R, 128);
+see ``fused_stain.to_planar`` / ``data.native.pack_planar`` for producers.
 
-Tile sizes: whole tiles must fit VMEM. Measured on hardware as the marginal
-cost in a dependent dispatch chain (BASELINE.md r2): 256x256 runs at ~43k
-tiles/s/chip and 512x512 at ~49k 256-equivalents/s (slightly better per
-pixel — the bisection chains amortize over 4x the pixels); both sizes are
-first-class.
+Tile sizes: whole tiles must fit VMEM (512x512 validated; beyond that the
+functional path streams with count-bisection percentiles —
+``ops/percentile.py``). Hardware rates (dependent-chain marginal cost,
+BASELINE.md r3): ~70-80k 256x256 tiles/s/chip.
 """
 
 from __future__ import annotations
@@ -87,51 +87,209 @@ def _od_and_mask(rgb_u8, luminosity_threshold):
 
 def _multi_masked_percentile(searches, n_iters=14):
     """Several np.percentile(values[mask], q) computations fused into ONE
-    bisection loop: every iteration evaluates all order-stat counts in a
-    single traversal of the operands, so the pass count is n_iters instead of
-    n_iters * n_searches * 2 (the loop is latency-bound on the sequential
-    scalar dependency, not bandwidth — batching the counts is nearly free).
+    bisection loop. Each search spends a SINGLE count-reduction per
+    iteration — the VPU-bound inner cost, halved vs the r2 dual rank/rank+1
+    chains: the loop brackets the rank-floor order statistic v_(k) only,
+    and the interpolation partner v_(k+1) is recovered EXACTLY afterwards
+    from one extra count (is it inside the final bracket?) plus one
+    min-reduction (the smallest value above the bracket) — exact even
+    across wide order-statistic gaps, where a bisection chain for rank k+1
+    had only resolution-limited accuracy.
+
+    Masked searches additionally seed [lo, hi] from the masked data's own
+    min/max (two reductions shared by every search on the same operand), so
+    none of the fixed iteration budget is spent on empty range: for the
+    angular searches the data occupies ~1/4 of the a-priori interval,
+    buying ~2 extra bits of resolution for free.
 
     ``searches``: list of (values, mask_or_None, n_valid, q, lo_init,
     hi_init); returns one interpolated percentile per entry. Ranks may be
     traced scalars (the tissue count is data-dependent).
     """
-    ranks = []
-    fracs = []
-    state = []
+    BIG = jnp.float32(3.4e38)
+    ranks, fracs, operands, los, his = [], [], [], [], []
+    cache = {}
     for values, mask, n_valid, q, lo0, hi0 in searches:
         rank_f = q / 100.0 * jnp.maximum(n_valid - 1.0, 0.0)
         rank_lo = jnp.floor(rank_f)
         ranks.append(rank_lo)
         fracs.append(rank_f - rank_lo)
-        vm = values if mask is None else jnp.where(mask, values,
-                                                   jnp.float32(3.4e38))
-        # Two searches per percentile: ranks k and k+1.
-        state.append((vm, lo0, hi0, lo0, hi0))
+        if mask is None:
+            # Callers already pass a data-tight hi (jnp.max); min is
+            # typically an exact 0 (background concentrations) — seeding
+            # would spend reductions for no narrowing.
+            vm, dlo, dhi = values, lo0, hi0
+        else:
+            key = (id(values), id(mask))
+            if key not in cache:
+                vm = jnp.where(mask, values, BIG)
+                valid = vm < BIG
+                vmin = jnp.min(jnp.where(valid, vm, hi0))
+                vmax = jnp.max(jnp.where(valid, vm, lo0))
+                cache[key] = (vm, vmin, jnp.maximum(vmax, vmin))
+            vm, dlo, dhi = cache[key]
+        operands.append(vm)
+        los.append(dlo)
+        his.append(dhi)
 
     def body(_, state):
         out = []
-        for (vm, lo_a, hi_a, lo_b, hi_b), rank in zip(state, ranks):
-            mid_a = 0.5 * (lo_a + hi_a)
-            mid_b = 0.5 * (lo_b + hi_b)
-            cnt_a = jnp.sum(jnp.where(vm <= mid_a, 1.0, 0.0))
-            cnt_b = jnp.sum(jnp.where(vm <= mid_b, 1.0, 0.0))
-            take_a = cnt_a > rank
-            take_b = cnt_b > rank + 1.0
-            out.append((
-                vm,
-                jnp.where(take_a, lo_a, mid_a),
-                jnp.where(take_a, mid_a, hi_a),
-                jnp.where(take_b, lo_b, mid_b),
-                jnp.where(take_b, mid_b, hi_b),
-            ))
+        for vm, (lo, hi), rank in zip(operands, state, ranks):
+            mid = 0.5 * (lo + hi)
+            cnt = jnp.sum(jnp.where(vm <= mid, 1.0, 0.0))
+            take = cnt > rank  # v_(k) <= mid
+            out.append((jnp.where(take, lo, mid), jnp.where(take, mid, hi)))
         return tuple(out)
 
-    state = jax.lax.fori_loop(0, n_iters, body, tuple(state))
+    state = jax.lax.fori_loop(0, n_iters, body, tuple(zip(los, his)))
     results = []
-    for (vm, _, hi_a, _, hi_b), frac in zip(state, fracs):
-        results.append(hi_a * (1.0 - frac) + hi_b * frac)
+    for vm, (_, hi_a), rank, frac in zip(operands, state, ranks, fracs):
+        # v_(k) in (lo, hi_a]. v_(k+1) is in the same bracket iff
+        # count(<= hi_a) exceeds rank+1; otherwise it is exactly the
+        # smallest value above the bracket. (When rank+1 > n-1 the
+        # successor may be absent, but then frac == 0 and the term drops.)
+        cnt_hi = jnp.sum(jnp.where(vm <= hi_a, 1.0, 0.0))
+        succ = jnp.min(jnp.where(vm > hi_a, vm, BIG))
+        v_b = jnp.where(cnt_hi > rank + 1.0, hi_a, succ)
+        results.append(hi_a * (1.0 - frac) + v_b * frac)
     return results
+
+
+def _od_moments(od0, od1, od2, m):
+    """Masked OD first/second moments as ten scalar reductions (a stacked
+    (10, R, L) -> (10,) reduction hits an internal Mosaic bug on hardware;
+    ten scalar reductions compile and run fine)."""
+    return (
+        jnp.sum(m),
+        jnp.sum(m * od0),
+        jnp.sum(m * od1),
+        jnp.sum(m * od2),
+        jnp.sum(m * od0 * od0),
+        jnp.sum(m * od0 * od1),
+        jnp.sum(m * od0 * od2),
+        jnp.sum(m * od1 * od1),
+        jnp.sum(m * od1 * od2),
+        jnp.sum(m * od2 * od2),
+    )
+
+
+def _eigvec3_scalar(a00, a01, a02, a11, a12, a22, lam, eps=1e-12):
+    """Unit eigenvector of the symmetric matrix for eigenvalue ``lam`` via
+    the largest cross product of columns of (A - lam I) — the scalarized
+    twin of ``ops.linalg3._eigvec`` including its deterministic sign rule
+    (largest-|component| positive)."""
+    m00, m11, m22 = a00 - lam, a11 - lam, a22 - lam
+    # Columns of M: c0 = (m00, a01, a02), c1 = (a01, m11, a12),
+    # c2 = (a02, a12, m22).
+    def cross(u, v):
+        return (u[1] * v[2] - u[2] * v[1],
+                u[2] * v[0] - u[0] * v[2],
+                u[0] * v[1] - u[1] * v[0])
+
+    c0 = (m00, a01, a02)
+    c1 = (a01, m11, a12)
+    c2 = (a02, a12, m22)
+    x01 = cross(c0, c1)
+    x02 = cross(c0, c2)
+    x12 = cross(c1, c2)
+
+    def nrm2(u):
+        return u[0] * u[0] + u[1] * u[1] + u[2] * u[2]
+
+    n01, n02, n12 = nrm2(x01), nrm2(x02), nrm2(x12)
+    best12 = (n12 >= n01) & (n12 >= n02)
+    best02 = (~best12) & (n02 >= n01)
+
+    def pick(i):
+        return jnp.where(best12, x12[i], jnp.where(best02, x02[i], x01[i]))
+
+    v0, v1, v2 = pick(0), pick(1), pick(2)
+    nv = jnp.sqrt(nrm2((v0, v1, v2)))
+    ok = nv > eps
+    inv = 1.0 / jnp.maximum(nv, eps)
+    # Degenerate fallback: e0, like the functional path.
+    v0 = jnp.where(ok, v0 * inv, 1.0)
+    v1 = jnp.where(ok, v1 * inv, 0.0)
+    v2 = jnp.where(ok, v2 * inv, 0.0)
+    # Sign: largest-|.| component positive ...
+    av0, av1, av2 = jnp.abs(v0), jnp.abs(v1), jnp.abs(v2)
+    lead = jnp.where((av0 >= av1) & (av0 >= av2), v0,
+                     jnp.where(av1 >= av2, v1, v2))
+    s = jnp.where(lead < 0.0, -1.0, 1.0)
+    v0, v1, v2 = v0 * s, v1 * s, v2 * s
+    # ... then the eigenplane rule: red component non-negative
+    # (macenko_stain_extractor.py:25-27).
+    s = jnp.where(v0 < 0.0, -1.0, 1.0)
+    return v0 * s, v1 * s, v2 * s
+
+
+def _newton_extreme_roots(d, n_iters: int = 12):
+    """Extreme roots of x^3 - 3x - d by Newton (scalar; Mosaic has no acos,
+    so Smith's trigonometric solve is replaced by iteration on the
+    depressed characteristic cubic — all roots lie in [-2, 2] and the
+    extreme roots are monotone Newton limits from +-2). BOTH roots update
+    in one loop so the two scalar dependency chains interleave; iteration
+    is quadratic away from the degenerate |d|=2 double-root case, where
+    the eigengap is zero and the eigenvector fallback takes over anyway."""
+    def body(_, state):
+        xh, xl = state
+        fh = (xh * xh - 3.0) * xh - d
+        fph = 3.0 * xh * xh - 3.0
+        fl = (xl * xl - 3.0) * xl - d
+        fpl = 3.0 * xl * xl - 3.0
+        xh = xh - fh / jnp.maximum(fph, 1e-12)   # f' > 0 at |x| > 1
+        xl = xl - fl / jnp.maximum(fpl, 1e-12)
+        return xh, xl
+
+    return jax.lax.fori_loop(
+        0, n_iters, body, (jnp.float32(2.0), jnp.float32(-2.0)))
+
+
+def _eigenplane_scalars(stats, eps=1e-12):
+    """Top-2 eigenvector plane from the ten masked OD moments — the
+    in-kernel scalar twin of :func:`eigenplane` (moments -> np.cov N-1
+    semantics -> eigh -> sign-fixed V2 columns [2, 1]). Returns
+    (v1x, v1y, v1z, v2x, v2y, v2z). Doing this inside the apply kernel
+    removes a whole uint8 HBM pass (kernel A) and ~3 us/tile of XLA
+    small-op glue (measured r3; the eigh itself is ~100 scalar ops)."""
+    n, s0, s1, s2, q00, q01, q02, q11, q12, q22 = stats
+    sn = jnp.maximum(n, 1.0)
+    m0, m1, m2 = s0 / sn, s1 / sn, s2 / sn
+    denom = 1.0 / jnp.maximum(n - 1.0, 1.0)
+    a00 = (q00 - n * m0 * m0) * denom
+    a01 = (q01 - n * m0 * m1) * denom
+    a02 = (q02 - n * m0 * m2) * denom
+    a11 = (q11 - n * m1 * m1) * denom
+    a12 = (q12 - n * m1 * m2) * denom
+    a22 = (q22 - n * m2 * m2) * denom
+
+    # Normalize scale, shift by the mean eigenvalue (ops/linalg3.py).
+    scale = jnp.maximum(
+        jnp.maximum(jnp.maximum(jnp.abs(a00), jnp.abs(a01)),
+                    jnp.maximum(jnp.abs(a02), jnp.abs(a11))),
+        jnp.maximum(jnp.maximum(jnp.abs(a12), jnp.abs(a22)), eps),
+    )
+    b00, b01, b02 = a00 / scale, a01 / scale, a02 / scale
+    b11, b12, b22 = a11 / scale, a12 / scale, a22 / scale
+    q = (b00 + b11 + b22) / 3.0
+    c00, c11, c22 = b00 - q, b11 - q, b22 - q
+    p2 = (c00 * c00 + c11 * c11 + c22 * c22
+          + 2.0 * (b01 * b01 + b02 * b02 + b12 * b12)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, eps * eps))
+    inv_p = 1.0 / p
+    d00, d11, d22 = c00 * inv_p, c11 * inv_p, c22 * inv_p
+    d01, d02, d12 = b01 * inv_p, b02 * inv_p, b12 * inv_p
+    det = (d00 * (d11 * d22 - d12 * d12)
+           - d01 * (d01 * d22 - d12 * d02)
+           + d02 * (d01 * d12 - d11 * d02))
+    det = jnp.clip(det, -2.0, 2.0)
+    x_hi, x_lo = _newton_extreme_roots(det)
+    x_mid = -(x_hi + x_lo)  # trace is zero
+    lam_hi = q + p * x_hi
+    lam_mid = q + p * x_mid
+    v1 = _eigvec3_scalar(b00, b01, b02, b11, b12, b22, lam_hi)
+    v2 = _eigvec3_scalar(b00, b01, b02, b11, b12, b22, lam_mid)
+    return v1 + v2  # 6 scalars: v1 row then v2 row
 
 
 # ---------------------------------------------------------------------------
@@ -146,22 +304,7 @@ def _stats_kernel(rgb_ref, out_ref, *, luminosity_threshold: float):
     # live in a one-hot-encoded sum (stat value at lane position k of row 0),
     # which sidesteps scalar-output layout restrictions.
     od0, od1, od2, mask = _od_and_mask(rgb_ref[0], luminosity_threshold)
-    m = mask.astype(jnp.float32)
-    # NOTE: a single stacked (10, R, L) -> (10,) reduction would be nicer but
-    # hits an internal Mosaic compiler bug on hardware; ten scalar reductions
-    # compile and run fine.
-    stats = [
-        jnp.sum(m),
-        jnp.sum(m * od0),
-        jnp.sum(m * od1),
-        jnp.sum(m * od2),
-        jnp.sum(m * od0 * od0),
-        jnp.sum(m * od0 * od1),
-        jnp.sum(m * od0 * od2),
-        jnp.sum(m * od1 * od1),
-        jnp.sum(m * od1 * od2),
-        jnp.sum(m * od2 * od2),
-    ]
+    stats = _od_moments(od0, od1, od2, mask.astype(jnp.float32))
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     acc = jnp.zeros((8, 128), jnp.float32)
@@ -174,12 +317,12 @@ def _stats_kernel(rgb_ref, out_ref, *, luminosity_threshold: float):
 # Kernel B: angles -> stain matrix -> lasso -> rescale -> reconstruct
 # ---------------------------------------------------------------------------
 
-# per-image scalar table for kernel B:
-# [0:6]  V2 columns (v1x v1y v1z v2x v2y v2z) — the top-2 eigenvector plane
-# [6:12] target stain matrix rows
-# [12:14] maxC_target
-# [14] regularizer, [15] luminosity threshold
-_NSCAL_B = 16
+# per-image scalar table for kernel B (the eigenplane is derived in-kernel
+# from the same VMEM-resident tile since r3 — no prefetched V2):
+# [0:6] target stain matrix rows
+# [6:8] maxC_target
+# [8] regularizer, [9] luminosity threshold
+_NSCAL_B = 10
 
 
 def _macenko_vectors(od0, od1, od2, mask, n_valid, v, *, q_angle: float,
@@ -213,12 +356,16 @@ def _macenko_vectors(od0, od1, od2, mask, n_valid, v, *, q_angle: float,
     m_angle = p + 2.0
     m_angle = jnp.where(m_angle >= 4.0, m_angle - 4.0, m_angle)
 
+    # Angle searches run 4 fewer rounds than the concentration searches:
+    # their interval is seeded from the masked data's own min/max (span
+    # typically ~0.5-1 of the a-priori 4.0), so depth n-4 still resolves
+    # finer than the r2 full-depth [0, 4] bisection did.
     min_m, max_m = _multi_masked_percentile([
         (m_angle, mask, n_valid, 100.0 - q_angle,
          jnp.float32(0.0), jnp.float32(4.0)),
         (m_angle, mask, n_valid, q_angle,
          jnp.float32(0.0), jnp.float32(4.0)),
-    ], n_iters=n_bisect)
+    ], n_iters=max(n_bisect - 4, 8))
 
     def unit_dir(m):
         # Invert: shifted pseudo-angle -> diamond angle -> unit (cos, sin).
@@ -281,13 +428,14 @@ def _apply_kernel(scal_ref, rgb_ref, out_ref, *, q_angle: float,
     def sc(i):
         return scal_ref[img, i]
 
-    lam = sc(14)
-    od0, od1, od2, mask = _od_and_mask(rgb_ref[0], sc(15))
-    n_valid = jnp.sum(mask.astype(jnp.float32))
+    lam = sc(8)
+    od0, od1, od2, mask = _od_and_mask(rgb_ref[0], sc(9))
+    stats = _od_moments(od0, od1, od2, mask.astype(jnp.float32))
+    n_valid = stats[0]
+    v = _eigenplane_scalars(stats)
 
     h0, h1, h2, e0, e1, e2 = _macenko_vectors(
-        od0, od1, od2, mask, n_valid,
-        (sc(0), sc(1), sc(2), sc(3), sc(4), sc(5)),
+        od0, od1, od2, mask, n_valid, v,
         q_angle=q_angle, n_bisect=n_bisect,
     )
 
@@ -300,13 +448,13 @@ def _apply_kernel(scal_ref, rgb_ref, out_ref, *, q_angle: float,
         (c1, None, n_all, q_conc, jnp.float32(0.0), jnp.max(c1)),
         (c2, None, n_all, q_conc, jnp.float32(0.0), jnp.max(c2)),
     ], n_iters=n_bisect)
-    scale1 = sc(12) / jnp.maximum(max_c1, 1e-8)
-    scale2 = sc(13) / jnp.maximum(max_c2, 1e-8)
+    scale1 = sc(6) / jnp.maximum(max_c1, 1e-8)
+    scale2 = sc(7) / jnp.maximum(max_c2, 1e-8)
     c1s = c1 * scale1
     c2s = c2 * scale2
 
     for ch in range(3):
-        od_out = c1s * sc(6 + ch) + c2s * sc(9 + ch)
+        od_out = c1s * sc(ch) + c2s * sc(3 + ch)
         val = 255.0 * jnp.exp(-od_out)
         out_ref[0, ch] = jnp.clip(val, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
 
@@ -369,10 +517,12 @@ def macenko_normalize_planar(
     n_bisect: int = 14,
     interpret: bool = False,
 ):
-    """Full Macenko fit+transform over planar (B, 3, R, 128) uint8 tiles."""
+    """Full Macenko fit+transform over planar (B, 3, R, 128) uint8 tiles —
+    a SINGLE kernel per tile since r3 (estimation moments, scalar eigh,
+    percentiles, lasso and reconstruction all on the one VMEM-resident
+    copy): one uint8 read, one uint8 write."""
     B, C, R, L = rgb_planar.shape
     assert C == 3 and L == LANES
-    V2 = eigenplane(rgb_planar, luminosity_threshold, interpret=interpret)
 
     tgt = jnp.broadcast_to(
         jnp.asarray(stain_matrix_tgt, jnp.float32).reshape(-1, 2, 3), (B, 2, 3)
@@ -382,7 +532,6 @@ def macenko_normalize_planar(
     )
     scal = jnp.concatenate(
         [
-            jnp.swapaxes(V2, -1, -2).reshape(B, 6),  # v1 row then v2 row
             tgt,
             mct,
             jnp.full((B, 1), regularizer, jnp.float32),
@@ -421,7 +570,9 @@ def macenko_normalize(rgb, stain_matrix_tgt, max_c_target, **kw):
 # ---------------------------------------------------------------------------
 
 # per-image scalar table for the augment kernel:
-# [0:6]  V2 columns, [6:8] alpha (H, E), [8:10] beta (H, E),
+# [0:6]  stain matrix rows (estimate=False) or unused (estimate=True: the
+#        full Macenko estimation happens in-kernel),
+# [6:8] alpha (H, E), [8:10] beta (H, E),
 # [10] lasso regularizer, [11] luminosity threshold,
 # [12] augment_background flag
 _NSCAL_AUG = 13
@@ -429,9 +580,10 @@ _NSCAL_AUG = 13
 
 def _augment_kernel(scal_ref, rgb_ref, out_ref, *, q_angle: float,
                     n_bisect: int, estimate: bool = True):
-    """``estimate=True``: scal[0:6] is the eigenplane and the Macenko stain
-    matrix is derived in-kernel; ``estimate=False``: scal[0:6] IS the
-    2x3 stain matrix rows (e.g. a Vahadane dictionary computed upstream)."""
+    """``estimate=True``: the Macenko stain matrix is derived fully
+    in-kernel (moments -> scalar eigh -> angular percentiles);
+    ``estimate=False``: scal[0:6] IS the 2x3 stain matrix rows (e.g. a
+    Vahadane dictionary computed upstream)."""
     img = pl.program_id(0)
 
     def sc(i):
@@ -439,10 +591,10 @@ def _augment_kernel(scal_ref, rgb_ref, out_ref, *, q_angle: float,
 
     od0, od1, od2, mask = _od_and_mask(rgb_ref[0], sc(11))
     if estimate:
-        n_valid = jnp.sum(mask.astype(jnp.float32))
+        stats = _od_moments(od0, od1, od2, mask.astype(jnp.float32))
+        v = _eigenplane_scalars(stats)
         h0, h1, h2, e0, e1, e2 = _macenko_vectors(
-            od0, od1, od2, mask, n_valid,
-            (sc(0), sc(1), sc(2), sc(3), sc(4), sc(5)),
+            od0, od1, od2, mask, stats[0], v,
             q_angle=q_angle, n_bisect=n_bisect,
         )
     else:
@@ -489,10 +641,9 @@ def macenko_augment_planar(
     """
     B, C, R, L = rgb_planar.shape
     assert C == 3 and L == LANES
-    V2 = eigenplane(rgb_planar, luminosity_threshold, interpret=interpret)
     scal = jnp.concatenate(
         [
-            jnp.swapaxes(V2, -1, -2).reshape(B, 6),
+            jnp.zeros((B, 6), jnp.float32),  # estimation is in-kernel
             jnp.broadcast_to(jnp.asarray(alpha, jnp.float32).reshape(-1, 2),
                              (B, 2)),
             jnp.broadcast_to(jnp.asarray(beta, jnp.float32).reshape(-1, 2),

@@ -40,24 +40,28 @@ def _percentile_u8(v0, v1, v2, q, n):
                 + jnp.sum(jnp.where(v2 <= mid, 1.0, 0.0)))
 
     def body(_, state):
-        lo_a, hi_a, lo_b, hi_b = state
-        mid_a = 0.5 * (lo_a + hi_a)
-        mid_b = 0.5 * (lo_b + hi_b)
-        c_a = counts(mid_a)
-        c_b = counts(mid_b)
-        take_a = c_a > rank_lo
-        take_b = c_b > rank_lo + 1.0
-        return (
-            jnp.where(take_a, lo_a, mid_a), jnp.where(take_a, mid_a, hi_a),
-            jnp.where(take_b, lo_b, mid_b), jnp.where(take_b, mid_b, hi_b),
-        )
+        lo, hi = state
+        mid = 0.5 * (lo + hi)
+        take = counts(mid) > rank_lo
+        return jnp.where(take, lo, mid), jnp.where(take, mid, hi)
 
     lo = jnp.float32(-0.5)
     hi = jnp.float32(255.5)
-    _, hi_a, _, hi_b = jax.lax.fori_loop(0, 10, body, (lo, hi, lo, hi))
-    # Snap to the integer grid (values ARE integers).
+    _, hi_a = jax.lax.fori_loop(0, 10, body, (lo, hi))
+    # Snap to the integer grid (values ARE integers; final width 0.25 < the
+    # 0.5 snap radius, so this is the exact rank_lo order statistic).
     v_lo = jnp.round(hi_a)
-    v_hi = jnp.round(hi_b)
+    # rank_lo+1 partner: same value iff the count at v_lo exceeds it,
+    # else exactly the smallest value above v_lo — one count + one
+    # 3-plane min instead of a second 10-iteration chain.
+    BIG = jnp.float32(256.0)
+    in_bracket = counts(v_lo) > rank_lo + 1.0
+    succ = jnp.minimum(
+        jnp.min(jnp.where(v0 > v_lo, v0, BIG)),
+        jnp.minimum(jnp.min(jnp.where(v1 > v_lo, v1, BIG)),
+                    jnp.min(jnp.where(v2 > v_lo, v2, BIG))),
+    )
+    v_hi = jnp.where(in_bracket, v_lo, jnp.minimum(succ, 255.0))
     return v_lo * (1.0 - frac) + v_hi * frac
 
 
@@ -75,13 +79,20 @@ def _rgb_to_lab_planes(c0, c1, c2):
     y = 0.212671 * l0 + 0.715160 * l1 + 0.072169 * l2
     z = (0.019334 * l0 + 0.119193 * l1 + 0.950227 * l2) / 1.088754
 
+    def cbrt(t):
+        # exp(log/3) seed + one Newton step: agrees with jnp.cbrt to the
+        # last ulp nearly everywhere (Mosaic has no cbrt primitive; the
+        # raw seed alone is ~2 ulp off, visible as uint8 steps after the
+        # LAB round trip's rounds).
+        y0 = jnp.exp(jnp.log(jnp.maximum(t, 1e-12)) * jnp.float32(1.0 / 3.0))
+        return (2.0 * y0 + t / (y0 * y0)) * jnp.float32(1.0 / 3.0)
+
     def f(t):
-        cbrt = jnp.exp(jnp.log(jnp.maximum(t, 1e-12)) / 3.0)
-        return jnp.where(t > 0.008856, cbrt, 7.787 * t + 16.0 / 116.0)
+        return jnp.where(t > 0.008856, cbrt(t), 7.787 * t + 16.0 / 116.0)
 
     fy = f(y)
-    cbrt_y = jnp.exp(jnp.log(jnp.maximum(y, 0.008856)) / 3.0)
-    L = jnp.where(y > 0.008856, 116.0 * cbrt_y - 16.0, 903.3 * y)
+    L = jnp.where(y > 0.008856,
+                  116.0 * cbrt(jnp.maximum(y, 0.008856)) - 16.0, 903.3 * y)
     return L, 500.0 * (f(x) - fy), 200.0 * (fy - f(z))
 
 
@@ -104,9 +115,12 @@ def _lab_to_rgb_planes(L, a, b):
 
     def compress(c):
         c = jnp.maximum(c, 0.0)
+        # exp(log * (1/2.4)) mirrors the functional path's c ** (1/2.4)
+        # lowering (multiply by the rounded constant, not divide by 2.4).
         srgb = jnp.where(
             c <= 0.0031308, c * 12.92,
-            1.055 * jnp.exp(jnp.log(jnp.maximum(c, 1e-12)) / 2.4) - 0.055,
+            1.055 * jnp.exp(jnp.log(jnp.maximum(c, 1e-12))
+                            * jnp.float32(1.0 / 2.4)) - 0.055,
         )
         return jnp.clip(srgb, 0.0, 1.0) * 255.0
 
@@ -127,11 +141,14 @@ def _reinhard_kernel(scal_ref, rgb_ref, out_ref, *, n_pixels: int,
     c0, c1, c2 = rgb[0], rgb[1], rgb[2]
 
     # standardize_brightness (stain_utils.py:188-194) + uint8 truncation.
+    # NOTE the op ORDER (c * 255 then / p) matches the functional path
+    # exactly: multiply-by-reciprocal differs by an ulp at exact integers,
+    # which the floor() amplifies to a full uint8 step.
     p = _percentile_u8(c0, c1, c2, brightness_q, jnp.float32(3 * n_pixels))
-    scale = 255.0 / jnp.maximum(p, 1e-6)
+    p = jnp.maximum(p, 1e-6)
 
     def bright(c):
-        return jnp.floor(jnp.clip(c * scale, 0.0, 255.0))
+        return jnp.floor(jnp.clip(c * 255.0 / p, 0.0, 255.0))
 
     c0, c1, c2 = bright(c0), bright(c1), bright(c2)
 

@@ -35,31 +35,31 @@ from stainlib_tpu.kernels.fused_stain import (
     to_planar,
 )
 from stainlib_tpu.kernels.macenko_fused import (
+    _eigenplane_scalars,
     _macenko_vectors,
     _od_and_mask,
-    eigenplane,
+    _od_moments,
 )
 
 LANES = 128
 
 
-def _dict_kernel(scal_ref, rgb_ref, out_ref, *, regularizer: float,
+def _dict_kernel(rgb_ref, out_ref, *, regularizer: float,
                  num_iters: int, luminosity_threshold: float,
                  n_bisect: int):
-    img = pl.program_id(0)
     od0, od1, od2, mask = _od_and_mask(rgb_ref[0], luminosity_threshold)
     m = mask.astype(jnp.float32)
-    n_valid = jnp.sum(m)
 
-    # Warm start: the Macenko estimate from the prefetched eigenplane (the
-    # tile is already in VMEM — one angular-percentile bisection, ~1/3 of a
-    # Macenko apply kernel). It sits ~1e-2 from the Vahadane optimum, so the
-    # BCD below needs ~12 alternations instead of the ~30 the fixed
-    # Ruifrok-Johnston prior required (convergence study in BASELINE.md).
+    # Warm start: the Macenko estimate, derived fully in-kernel since r3
+    # (masked moments -> scalar Newton eigh -> one angular-percentile
+    # bisection) while the tile is VMEM-resident. It sits ~1e-2 from the
+    # Vahadane optimum, so the BCD below needs ~12 alternations instead of
+    # the ~30 the fixed Ruifrok-Johnston prior required (convergence study
+    # in BASELINE.md).
+    stats = _od_moments(od0, od1, od2, m)
+    n_valid = stats[0]
     d_init = _macenko_vectors(
-        od0, od1, od2, mask, n_valid,
-        (scal_ref[img, 0], scal_ref[img, 1], scal_ref[img, 2],
-         scal_ref[img, 3], scal_ref[img, 4], scal_ref[img, 5]),
+        od0, od1, od2, mask, n_valid, _eigenplane_scalars(stats),
         q_angle=99.0, n_bisect=n_bisect,
     )
 
@@ -158,35 +158,28 @@ def vahadane_stain_matrix_planar(
 ):
     """Per-tile 2x3 Vahadane stain matrices from planar uint8 tiles.
 
-    Two kernels: the shared masked-moments kernel (-> eigenplane in XLA)
-    and the dictionary kernel, which derives the Macenko warm start
-    in-VMEM and runs ``num_iters`` BCD alternations. H-first ordering +
+    ONE kernel per tile: masked moments, scalar Newton eigh, the Macenko
+    warm start and ``num_iters`` BCD alternations all on the single
+    VMEM-resident copy (one uint8 HBM read total). H-first ordering +
     final row normalization (``vahadane_stain_extractor.py:40-43``) happen
     in XLA on the (B, 2, 3) output; empty-mask tiles yield NaNs like the
     functional path.
     """
     B, C, R, L = rgb_planar.shape
     assert C == 3 and L == LANES
-    V2 = eigenplane(rgb_planar, luminosity_threshold, interpret=interpret)
-    scal = jnp.swapaxes(V2, -1, -2).reshape(B, 6)  # v1 row then v2 row
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, 3, R, L), lambda i, s: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 8, 128), lambda i, s: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )
     plane = pl.pallas_call(
         functools.partial(
             _dict_kernel, regularizer=regularizer, num_iters=num_iters,
             luminosity_threshold=luminosity_threshold, n_bisect=n_bisect,
         ),
-        grid_spec=grid_spec,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, 3, R, L), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
         interpret=interpret,
-    )(scal, rgb_planar)
+    )(rgb_planar)
     D = plane[:, 0, :6].reshape(B, 2, 3)
     n_valid = plane[:, 0, 6]
 

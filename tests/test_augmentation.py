@@ -180,3 +180,37 @@ def test_hed_randomize_none_range_semantics():
     assert aug._sigmas[0] == 1.0 and aug._sigmas[2] == 1.0
     assert aug._biases[0] == 0.0 and aug._biases[2] == 0.0
     assert -0.1 <= aug._sigmas[1] <= 0.1
+
+
+def test_fused_fit_once_pop_many_matches_functional():
+    # Fit-once/pop-many fused route (interpret mode): same draws as the
+    # functional pop for the same key, pixels within the documented fused
+    # tolerance; consecutive pops differ (fresh draws).
+    img = he_batch(2, 64, 128, seed=23)
+    state = F.stain_augment_fit_fused(img, method="macenko", interpret=True)
+    np.testing.assert_array_equal(state.stain_matrix.shape, (2, 2, 3))
+
+    key = jax.random.PRNGKey(5)
+    got = np.asarray(F.stain_augment_pop_fused(state, key, interpret=True))
+    assert got.shape == img.shape and got.dtype == np.uint8
+
+    # Functional reference with identical draws.
+    params = F.stain_augment_fit(jnp.asarray(img), method="macenko")
+    want = np.asarray(F.stain_augment_pop(params, key))
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert np.quantile(diff, 0.99) <= 4, np.quantile(diff, 0.99)
+
+    got2 = np.asarray(
+        F.stain_augment_pop_fused(state, jax.random.PRNGKey(6), interpret=True)
+    )
+    assert (got2 != got).any()
+
+
+def test_fused_fit_once_pop_many_vahadane_dict_kernel():
+    img = he_batch(1, 64, 128, seed=29)
+    state = F.stain_augment_fit_fused(img, method="vahadane", interpret=True)
+    assert not np.isnan(np.asarray(state.stain_matrix)).any()
+    out = np.asarray(
+        F.stain_augment_pop_fused(state, jax.random.PRNGKey(0), interpret=True)
+    )
+    assert out.shape == img.shape and out.dtype == np.uint8

@@ -93,3 +93,37 @@ def test_graft_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+@requires_8
+@pytest.mark.parametrize("method", ["macenko", "vahadane"])
+def test_sharded_fused_matches_single_device_fused(method):
+    # The flagship Pallas path under shard_map (interpret mode on the CPU
+    # mesh) must agree bit-for-bit with the same fused kernel run on one
+    # device: per-tile estimation is shard-local, so sharding must not
+    # change a single value.
+    mesh = make_mesh(8, data=8)
+    target = jnp.asarray(he_patch(32, 128, seed=88))
+    batch = jnp.asarray(he_batch(8, 32, 128, seed=89))
+    got = np.asarray(
+        normalize_batch_sharded(mesh, target, batch, method=method,
+                                fused=True)
+    )
+
+    from stainlib_tpu.kernels.fused_stain import from_planar, to_planar
+    from stainlib_tpu.kernels.macenko_fused import macenko_normalize_planar
+    from stainlib_tpu.kernels.vahadane_fused import vahadane_normalize_planar
+    from stainlib_tpu.normalization import extractive
+
+    params = extractive.fit(target, method=method)
+    planar = to_planar(batch)
+    if method == "macenko":
+        out = macenko_normalize_planar(
+            planar, params.stain_matrix_target, params.max_c_target,
+            interpret=True)
+    else:
+        out = vahadane_normalize_planar(
+            planar, params.stain_matrix_target, params.max_c_target,
+            interpret=True)
+    want = np.asarray(from_planar(out, 32, 128))
+    np.testing.assert_array_equal(got, want)
