@@ -40,47 +40,92 @@ LANES = 128
 _NSCALAR = 16
 
 
-def _order_stat(c, rank, n_iters: int = 14):
-    """``rank``-th and ``rank+1``-th order statistics of 2D ``c`` by scalar
-    bisection on counts — no sort, all operands stay in VMEM. ``rank`` is a
-    Python int; returns two f32 scalars. One count-reduction per iteration
-    brackets the rank-th statistic to range/2^n_iters (< 4e-4 for
-    concentrations: far below uint8 rounding on the reconstruction,
-    measured ΔE impact < 0.03 of the 1.0 budget); the rank+1 partner is
-    then recovered EXACTLY from one extra count plus one min-reduction
-    (the smallest value above the final bracket)."""
-    hi0 = jnp.max(c)
-    lo0 = jnp.float32(0.0)
+def _multi_masked_percentile(searches, n_iters=14):
+    """Several np.percentile(values[mask], q) computations fused into ONE
+    bisection loop. Each search spends a SINGLE count-reduction per
+    iteration — the VPU-bound inner cost, halved vs the r2 dual rank/rank+1
+    chains: the loop brackets the rank-floor order statistic v_(k) only,
+    and the interpolation partner v_(k+1) is recovered EXACTLY afterwards
+    from one extra count (is it inside the final bracket?) plus one
+    min-reduction (the smallest value above the bracket) — exact even
+    across wide order-statistic gaps, where a bisection chain for rank k+1
+    had only resolution-limited accuracy.
+
+    The chains are latency-bound, not throughput-bound (measured r3: the
+    first chain costs ~0.12 us per count on a 256^2 operand, each
+    additional INDEPENDENT chain only ~0.02-0.04), so callers batch every
+    search they have — across percentiles, operands and tiles — into one
+    call: the loop body emits all counts per iteration and Mosaic
+    interleaves them.
+
+    Masked searches additionally seed [lo, hi] from the masked data's own
+    min/max (two reductions shared by every search on the same operand), so
+    none of the fixed iteration budget is spent on empty range: for the
+    angular searches the data occupies ~1/4 of the a-priori interval,
+    buying ~2 extra bits of resolution for free.
+
+    ``searches``: list of (values, mask_or_None, n_valid, q, lo_init,
+    hi_init); returns one interpolated percentile per entry. Ranks may be
+    traced scalars (the tissue count is data-dependent).
+    """
+    BIG = jnp.float32(3.4e38)
+    ranks, fracs, operands, los, his = [], [], [], [], []
+    cache = {}
+    for values, mask, n_valid, q, lo0, hi0 in searches:
+        rank_f = q / 100.0 * jnp.maximum(n_valid - 1.0, 0.0)
+        rank_lo = jnp.floor(rank_f)
+        ranks.append(rank_lo)
+        fracs.append(rank_f - rank_lo)
+        if mask is None:
+            # Callers already pass a data-tight hi (jnp.max); min is
+            # typically an exact 0 (background concentrations) — seeding
+            # would spend reductions for no narrowing.
+            vm, dlo, dhi = values, lo0, hi0
+        else:
+            key = (id(values), id(mask))
+            if key not in cache:
+                vm = jnp.where(mask, values, BIG)
+                valid = vm < BIG
+                vmin = jnp.min(jnp.where(valid, vm, hi0))
+                vmax = jnp.max(jnp.where(valid, vm, lo0))
+                cache[key] = (vm, vmin, jnp.maximum(vmax, vmin))
+            vm, dlo, dhi = cache[key]
+        operands.append(vm)
+        los.append(dlo)
+        his.append(dhi)
 
     def body(_, state):
-        lo, hi = state
-        # Smallest v with count(c <= v) > rank.
-        mid = 0.5 * (lo + hi)
-        cnt = jnp.sum((c <= mid).astype(jnp.float32))
-        take = cnt > rank
-        return jnp.where(take, lo, mid), jnp.where(take, mid, hi)
+        out = []
+        for vm, (lo, hi), rank in zip(operands, state, ranks):
+            mid = 0.5 * (lo + hi)
+            cnt = jnp.sum(jnp.where(vm <= mid, 1.0, 0.0))
+            take = cnt > rank  # v_(k) <= mid
+            out.append((jnp.where(take, lo, mid), jnp.where(take, mid, hi)))
+        return tuple(out)
 
-    _, hi_a = jax.lax.fori_loop(0, n_iters, body, (lo0, hi0))
-    cnt_hi = jnp.sum((c <= hi_a).astype(jnp.float32))
-    succ = jnp.min(jnp.where(c > hi_a, c, jnp.float32(3.4e38)))
-    hi_b = jnp.where(cnt_hi > rank + 1, hi_a, succ)
-    return hi_a, hi_b
+    state = jax.lax.fori_loop(0, n_iters, body, tuple(zip(los, his)))
+    results = []
+    for vm, (_, hi_a), rank, frac in zip(operands, state, ranks, fracs):
+        # v_(k) in (lo, hi_a]. v_(k+1) is in the same bracket iff
+        # count(<= hi_a) exceeds rank+1; otherwise it is exactly the
+        # smallest value above the bracket. (When rank+1 > n-1 the
+        # successor may be absent, but then frac == 0 and the term drops.)
+        cnt_hi = jnp.sum(jnp.where(vm <= hi_a, 1.0, 0.0))
+        succ = jnp.min(jnp.where(vm > hi_a, vm, BIG))
+        v_b = jnp.where(cnt_hi > rank + 1.0, hi_a, succ)
+        results.append(hi_a * (1.0 - frac) + v_b * frac)
+    return results
 
 
-def _normalize_kernel(scal_ref, rgb_ref, out_ref, *, q: float, n_pixels: int):
-    img = pl.program_id(0)
-
-    def sc(i):
-        return scal_ref[img, i]
-
-    lam = sc(14)
+def _od_lasso(rgb_u8, sc, lam):
+    """uint8 (3, R, L) plane -> OD -> exact closed-form non-negative lasso
+    against the scalar source rows sc(0..5) (derivation in ops/lasso.py)."""
     # Mosaic has no direct u8->f32 cast; widen through int32.
-    rgb = rgb_ref[0].astype(jnp.int32).astype(jnp.float32)  # (3, R, L)
+    rgb = rgb_u8.astype(jnp.int32).astype(jnp.float32)
     od0 = jnp.maximum(-jnp.log(jnp.maximum(rgb[0], 1.0) * (1.0 / 255.0)), 1e-6)
     od1 = jnp.maximum(-jnp.log(jnp.maximum(rgb[1], 1.0) * (1.0 / 255.0)), 1e-6)
     od2 = jnp.maximum(-jnp.log(jnp.maximum(rgb[2], 1.0) * (1.0 / 255.0)), 1e-6)
 
-    # Exact non-negative lasso, closed form (derivation in ops/lasso.py).
     g11 = sc(0) * sc(0) + sc(1) * sc(1) + sc(2) * sc(2)
     g22 = sc(3) * sc(3) + sc(4) * sc(4) + sc(5) * sc(5)
     g12 = sc(0) * sc(3) + sc(1) * sc(4) + sc(2) * sc(5)
@@ -97,28 +142,48 @@ def _normalize_kernel(scal_ref, rgb_ref, out_ref, *, q: float, n_pixels: int):
     ok_2 = (b2 >= 0.0) & (g12 * c2_only - b1 >= 0.0)
     c1 = jnp.where(ok_full, c1_full, jnp.where(ok_1, c1_only, 0.0))
     c2 = jnp.where(ok_full, c2_full, jnp.where(~ok_1 & ok_2, c2_only, 0.0))
+    return c1, c2
 
-    # Exact 99th percentile per stain (np.percentile linear interpolation).
-    rank = q / 100.0 * (n_pixels - 1)
-    rank_lo = int(rank)
-    frac = jnp.float32(rank - rank_lo)
-    v1_lo, v1_hi = _order_stat(c1, rank_lo)
-    v2_lo, v2_hi = _order_stat(c2, rank_lo)
-    max_c1 = v1_lo * (1.0 - frac) + v1_hi * frac
-    max_c2 = v2_lo * (1.0 - frac) + v2_hi * frac
 
-    scale1 = sc(12) / jnp.maximum(max_c1, 1e-8)
-    scale2 = sc(13) / jnp.maximum(max_c2, 1e-8)
-    c1s = c1 * scale1
-    c2s = c2 * scale2
+def _normalize_kernel(scal_ref, rgb_ref, out_ref, *, q: float, n_pixels: int,
+                      tiles_per_step: int = 1):
+    """``tiles_per_step`` tiles per grid step; per-tile math is independent
+    and bitwise identical for any T — multiple tiles exist only so the
+    latency-bound percentile chains interleave (see
+    ``_multi_masked_percentile``)."""
+    base = pl.program_id(0) * tiles_per_step
 
-    # Reconstruct through the *target* stain matrix and quantize.
-    for ch in range(3):
-        od_out = c1s * sc(6 + ch) + c2s * sc(9 + ch)
-        val = 255.0 * jnp.exp(-od_out)
-        # f32 -> i32 -> u8 (no direct f32->u8 cast in Mosaic); the i32 cast
-        # truncates like the reference's .astype(np.uint8).
-        out_ref[0, ch] = jnp.clip(val, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+    n_all = jnp.float32(n_pixels)
+    concs = []
+    searches = []
+    for t in range(tiles_per_step):
+        def sc(i, t=t):
+            return scal_ref[base + t, i]
+
+        c1, c2 = _od_lasso(rgb_ref[t], sc, sc(14))
+        # Exact 99th percentile per stain (np.percentile interpolation).
+        searches += [
+            (c1, None, n_all, q, jnp.float32(0.0), jnp.max(c1)),
+            (c2, None, n_all, q, jnp.float32(0.0), jnp.max(c2)),
+        ]
+        concs.append((sc, c1, c2))
+
+    maxcs = _multi_masked_percentile(searches, n_iters=14)
+
+    for t, (sc, c1, c2) in enumerate(concs):
+        scale1 = sc(12) / jnp.maximum(maxcs[2 * t], 1e-8)
+        scale2 = sc(13) / jnp.maximum(maxcs[2 * t + 1], 1e-8)
+        c1s = c1 * scale1
+        c2s = c2 * scale2
+
+        # Reconstruct through the *target* stain matrix and quantize.
+        for ch in range(3):
+            od_out = c1s * sc(6 + ch) + c2s * sc(9 + ch)
+            val = 255.0 * jnp.exp(-od_out)
+            # f32 -> i32 -> u8 (no direct f32->u8 cast in Mosaic); the i32
+            # cast truncates like the reference's .astype(np.uint8).
+            out_ref[t, ch] = jnp.clip(val, 0.0, 255.0).astype(
+                jnp.int32).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("q", "regularizer", "interpret"))
@@ -160,15 +225,20 @@ def fused_normalize_planar(
         axis=1,
     )
 
-    kernel = functools.partial(_normalize_kernel, q=q, n_pixels=R * L)
+    # Interleave up to 4 tiles' latency-bound percentile chains per grid
+    # step, within the same VMEM budget as the Macenko kernel (4 x 256^2).
+    budget = max((256 * 256 * 4) // (R * L), 1)
+    T = next(t for t in (4, 2, 1) if t <= budget and B % t == 0)
+    kernel = functools.partial(_normalize_kernel, q=q, n_pixels=R * L,
+                               tiles_per_step=T)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # the (B, 16) per-image scalar table
-        grid=(B,),
+        grid=(B // T,),
         in_specs=[
-            pl.BlockSpec((1, 3, R, L), lambda i, scal: (i, 0, 0, 0),
+            pl.BlockSpec((T, 3, R, L), lambda i, scal: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 3, R, L), lambda i, scal: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((T, 3, R, L), lambda i, scal: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(

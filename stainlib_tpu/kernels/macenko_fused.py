@@ -85,74 +85,9 @@ def _od_and_mask(rgb_u8, luminosity_threshold):
     return od(c0), od(c1), od(c2), mask
 
 
-def _multi_masked_percentile(searches, n_iters=14):
-    """Several np.percentile(values[mask], q) computations fused into ONE
-    bisection loop. Each search spends a SINGLE count-reduction per
-    iteration — the VPU-bound inner cost, halved vs the r2 dual rank/rank+1
-    chains: the loop brackets the rank-floor order statistic v_(k) only,
-    and the interpolation partner v_(k+1) is recovered EXACTLY afterwards
-    from one extra count (is it inside the final bracket?) plus one
-    min-reduction (the smallest value above the bracket) — exact even
-    across wide order-statistic gaps, where a bisection chain for rank k+1
-    had only resolution-limited accuracy.
-
-    Masked searches additionally seed [lo, hi] from the masked data's own
-    min/max (two reductions shared by every search on the same operand), so
-    none of the fixed iteration budget is spent on empty range: for the
-    angular searches the data occupies ~1/4 of the a-priori interval,
-    buying ~2 extra bits of resolution for free.
-
-    ``searches``: list of (values, mask_or_None, n_valid, q, lo_init,
-    hi_init); returns one interpolated percentile per entry. Ranks may be
-    traced scalars (the tissue count is data-dependent).
-    """
-    BIG = jnp.float32(3.4e38)
-    ranks, fracs, operands, los, his = [], [], [], [], []
-    cache = {}
-    for values, mask, n_valid, q, lo0, hi0 in searches:
-        rank_f = q / 100.0 * jnp.maximum(n_valid - 1.0, 0.0)
-        rank_lo = jnp.floor(rank_f)
-        ranks.append(rank_lo)
-        fracs.append(rank_f - rank_lo)
-        if mask is None:
-            # Callers already pass a data-tight hi (jnp.max); min is
-            # typically an exact 0 (background concentrations) — seeding
-            # would spend reductions for no narrowing.
-            vm, dlo, dhi = values, lo0, hi0
-        else:
-            key = (id(values), id(mask))
-            if key not in cache:
-                vm = jnp.where(mask, values, BIG)
-                valid = vm < BIG
-                vmin = jnp.min(jnp.where(valid, vm, hi0))
-                vmax = jnp.max(jnp.where(valid, vm, lo0))
-                cache[key] = (vm, vmin, jnp.maximum(vmax, vmin))
-            vm, dlo, dhi = cache[key]
-        operands.append(vm)
-        los.append(dlo)
-        his.append(dhi)
-
-    def body(_, state):
-        out = []
-        for vm, (lo, hi), rank in zip(operands, state, ranks):
-            mid = 0.5 * (lo + hi)
-            cnt = jnp.sum(jnp.where(vm <= mid, 1.0, 0.0))
-            take = cnt > rank  # v_(k) <= mid
-            out.append((jnp.where(take, lo, mid), jnp.where(take, mid, hi)))
-        return tuple(out)
-
-    state = jax.lax.fori_loop(0, n_iters, body, tuple(zip(los, his)))
-    results = []
-    for vm, (_, hi_a), rank, frac in zip(operands, state, ranks, fracs):
-        # v_(k) in (lo, hi_a]. v_(k+1) is in the same bracket iff
-        # count(<= hi_a) exceeds rank+1; otherwise it is exactly the
-        # smallest value above the bracket. (When rank+1 > n-1 the
-        # successor may be absent, but then frac == 0 and the term drops.)
-        cnt_hi = jnp.sum(jnp.where(vm <= hi_a, 1.0, 0.0))
-        succ = jnp.min(jnp.where(vm > hi_a, vm, BIG))
-        v_b = jnp.where(cnt_hi > rank + 1.0, hi_a, succ)
-        results.append(hi_a * (1.0 - frac) + v_b * frac)
-    return results
+# Shared across every fused stain kernel (defined in fused_stain to keep
+# the import direction acyclic).
+from stainlib_tpu.kernels.fused_stain import _multi_masked_percentile
 
 
 def _od_moments(od0, od1, od2, m):
@@ -325,22 +260,12 @@ def _stats_kernel(rgb_ref, out_ref, *, luminosity_threshold: float):
 _NSCAL_B = 10
 
 
-def _macenko_vectors(od0, od1, od2, mask, n_valid, v, *, q_angle: float,
-                     n_bisect: int):
-    """In-kernel Macenko stain vectors from the eigenplane ``v`` (6 scalars:
-    v1x v1y v1z v2x v2y v2z). Returns H-first row-normalized
-    (h0, h1, h2, e0, e1, e2). Shared by the Macenko apply kernel and the
-    Vahadane dictionary kernel's warm start.
-
-    Projects OD onto the eigenplane. Mosaic has no atan2/cos/sin, and none
-    are needed: the angular percentile only requires a MONOTONE function of
-    the angle (order statistics commute with monotone maps), so we use the
-    diamond pseudo-angle p(x, y) in [0, 4) shifted to start at the -x axis
-    like atan2's range, and invert the percentile value back to an exact
-    unit direction piecewise-linearly. (The only divergence from
-    np.percentile is the interpolation between two *adjacent pixel* angles
-    happening in pseudo-angle space — O(gap^2), far below uint8 rounding.)
-    """
+def _pseudo_angle(od0, od1, od2, v):
+    """Monotone stand-in for atan2 of the eigenplane projection (Mosaic has
+    no atan2/cos/sin, and none are needed: the angular percentile only
+    requires a MONOTONE function of the angle — order statistics commute
+    with monotone maps). Diamond pseudo-angle p(x, y) in [0, 4), shifted to
+    start at the -x axis like atan2's range."""
     t1 = od0 * v[0] + od1 * v[1] + od2 * v[2]
     t2 = od0 * v[3] + od1 * v[4] + od2 * v[5]
     eps = 1e-30
@@ -354,18 +279,26 @@ def _macenko_vectors(od0, od1, od2, mask, n_valid, v, *, q_angle: float,
         jnp.where(t1 < 0.0, p_q3, p_q4),
     )
     m_angle = p + 2.0
-    m_angle = jnp.where(m_angle >= 4.0, m_angle - 4.0, m_angle)
+    return jnp.where(m_angle >= 4.0, m_angle - 4.0, m_angle)
 
-    # Angle searches run 4 fewer rounds than the concentration searches:
-    # their interval is seeded from the masked data's own min/max (span
-    # typically ~0.5-1 of the a-priori 4.0), so depth n-4 still resolves
-    # finer than the r2 full-depth [0, 4] bisection did.
-    min_m, max_m = _multi_masked_percentile([
+
+def _angle_searches(m_angle, mask, n_valid, q_angle):
+    """The two percentile-search tuples of one tile's angular bounds; the
+    caller batches tuples from several tiles into ONE
+    ``_multi_masked_percentile`` so the latency-bound chains interleave."""
+    return [
         (m_angle, mask, n_valid, 100.0 - q_angle,
          jnp.float32(0.0), jnp.float32(4.0)),
         (m_angle, mask, n_valid, q_angle,
          jnp.float32(0.0), jnp.float32(4.0)),
-    ], n_iters=max(n_bisect - 4, 8))
+    ]
+
+
+def _stain_rows_from_bounds(v, min_m, max_m):
+    """Percentile pseudo-angle bounds -> exact unit directions -> H-first
+    row-normalized stain rows (the only divergence from np.percentile is
+    the interpolation between two *adjacent pixel* angles happening in
+    pseudo-angle space — O(gap^2), far below uint8 rounding)."""
 
     def unit_dir(m):
         # Invert: shifted pseudo-angle -> diamond angle -> unit (cos, sin).
@@ -398,6 +331,26 @@ def _macenko_vectors(od0, od1, od2, mask, n_valid, v, *, q_angle: float,
     return (h0 * hn, h1 * hn, h2 * hn, e0 * en, e1 * en, e2 * en)
 
 
+def _macenko_vectors(od0, od1, od2, mask, n_valid, v, *, q_angle: float,
+                     n_bisect: int):
+    """In-kernel Macenko stain vectors from the eigenplane ``v`` (6 scalars:
+    v1x v1y v1z v2x v2y v2z). Returns H-first row-normalized
+    (h0, h1, h2, e0, e1, e2). Shared by the Macenko apply/augment kernels
+    (one tile per call) and the Vahadane dictionary kernel's warm start.
+
+    Angle searches run 4 fewer rounds than ``n_bisect``: their interval is
+    seeded from the masked data's own min/max (span typically ~0.5-1 of
+    the a-priori 4.0), so depth n-4 still resolves finer than the r2
+    full-depth [0, 4] bisection did.
+    """
+    m_angle = _pseudo_angle(od0, od1, od2, v)
+    min_m, max_m = _multi_masked_percentile(
+        _angle_searches(m_angle, mask, n_valid, q_angle),
+        n_iters=max(n_bisect - 4, 8),
+    )
+    return _stain_rows_from_bounds(v, min_m, max_m)
+
+
 def _lasso2(od0, od1, od2, h, e, lam):
     """Exact closed-form non-negative K=2 lasso per pixel against the scalar
     stain rows ``h``/``e`` (each a 3-tuple). Returns (c1, c2)."""
@@ -422,41 +375,66 @@ def _lasso2(od0, od1, od2, h, e, lam):
 
 
 def _apply_kernel(scal_ref, rgb_ref, out_ref, *, q_angle: float,
-                  q_conc: float, n_pixels: int, n_bisect: int):
-    img = pl.program_id(0)
+                  q_conc: float, n_pixels: int, n_bisect: int,
+                  tiles_per_step: int = 1):
+    """Full Macenko fit+transform for ``tiles_per_step`` tiles per grid
+    step. The per-tile math is completely independent — processing several
+    tiles per step exists ONLY so their latency-bound bisection chains and
+    moment reductions interleave on the VPU (measured r3: the first
+    count-chain costs ~0.12 us/count, each additional independent chain
+    ~0.02-0.04 — reduction latency, not throughput, is the bound). Results
+    are bitwise identical for any tiles_per_step."""
+    base = pl.program_id(0) * tiles_per_step
 
-    def sc(i):
-        return scal_ref[img, i]
+    def sc(t, i):
+        return scal_ref[base + t, i]
 
-    lam = sc(8)
-    od0, od1, od2, mask = _od_and_mask(rgb_ref[0], sc(9))
-    stats = _od_moments(od0, od1, od2, mask.astype(jnp.float32))
-    n_valid = stats[0]
-    v = _eigenplane_scalars(stats)
+    # Phase 1 (per tile): OD + mask -> moments -> scalar eigh -> angles.
+    tiles = []
+    angle_searches = []
+    for t in range(tiles_per_step):
+        od0, od1, od2, mask = _od_and_mask(rgb_ref[t], sc(t, 9))
+        stats = _od_moments(od0, od1, od2, mask.astype(jnp.float32))
+        v = _eigenplane_scalars(stats)
+        angle_searches += _angle_searches(
+            _pseudo_angle(od0, od1, od2, v), mask, stats[0], q_angle)
+        tiles.append((od0, od1, od2, v))
 
-    h0, h1, h2, e0, e1, e2 = _macenko_vectors(
-        od0, od1, od2, mask, n_valid, v,
-        q_angle=q_angle, n_bisect=n_bisect,
-    )
+    # Phase 2: ALL tiles' angular percentiles in one interleaved loop.
+    bounds = _multi_masked_percentile(angle_searches,
+                                      n_iters=max(n_bisect - 4, 8))
 
-    c1, c2 = _lasso2(od0, od1, od2, (h0, h1, h2), (e0, e1, e2), lam)
-
-    # 99th-pct per stain over ALL pixels (normalizer.py:46-48: the rescale
-    # uses unmasked concentrations).
+    # Phase 3 (per tile): stain rows + lasso.
     n_all = jnp.float32(n_pixels)
-    max_c1, max_c2 = _multi_masked_percentile([
-        (c1, None, n_all, q_conc, jnp.float32(0.0), jnp.max(c1)),
-        (c2, None, n_all, q_conc, jnp.float32(0.0), jnp.max(c2)),
-    ], n_iters=n_bisect)
-    scale1 = sc(6) / jnp.maximum(max_c1, 1e-8)
-    scale2 = sc(7) / jnp.maximum(max_c2, 1e-8)
-    c1s = c1 * scale1
-    c2s = c2 * scale2
+    conc_searches = []
+    concs = []
+    for t, (od0, od1, od2, v) in enumerate(tiles):
+        h0, h1, h2, e0, e1, e2 = _stain_rows_from_bounds(
+            v, bounds[2 * t], bounds[2 * t + 1])
+        c1, c2 = _lasso2(od0, od1, od2, (h0, h1, h2), (e0, e1, e2),
+                         sc(t, 8))
+        # 99th-pct per stain over ALL pixels (normalizer.py:46-48: the
+        # rescale uses unmasked concentrations).
+        conc_searches += [
+            (c1, None, n_all, q_conc, jnp.float32(0.0), jnp.max(c1)),
+            (c2, None, n_all, q_conc, jnp.float32(0.0), jnp.max(c2)),
+        ]
+        concs.append((c1, c2))
 
-    for ch in range(3):
-        od_out = c1s * sc(ch) + c2s * sc(3 + ch)
-        val = 255.0 * jnp.exp(-od_out)
-        out_ref[0, ch] = jnp.clip(val, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+    # Phase 4: all concentration percentiles interleaved.
+    maxcs = _multi_masked_percentile(conc_searches, n_iters=n_bisect)
+
+    # Phase 5 (per tile): rescale + Beer-Lambert reconstruction.
+    for t, (c1, c2) in enumerate(concs):
+        scale1 = sc(t, 6) / jnp.maximum(maxcs[2 * t], 1e-8)
+        scale2 = sc(t, 7) / jnp.maximum(maxcs[2 * t + 1], 1e-8)
+        c1s = c1 * scale1
+        c2s = c2 * scale2
+        for ch in range(3):
+            od_out = c1s * sc(t, ch) + c2s * sc(t, 3 + ch)
+            val = 255.0 * jnp.exp(-od_out)
+            out_ref[t, ch] = jnp.clip(val, 0.0, 255.0).astype(
+                jnp.int32).astype(jnp.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -504,7 +482,8 @@ def eigenplane(rgb_planar, luminosity_threshold: float = 0.8,
 @functools.partial(
     jax.jit,
     static_argnames=("luminosity_threshold", "angular_percentile",
-                     "q_conc", "regularizer", "n_bisect", "interpret"),
+                     "q_conc", "regularizer", "n_bisect", "interpret",
+                     "tiles_per_step"),
 )
 def macenko_normalize_planar(
     rgb_planar,
@@ -516,6 +495,7 @@ def macenko_normalize_planar(
     regularizer: float = 0.01,
     n_bisect: int = 14,
     interpret: bool = False,
+    tiles_per_step: int = 0,
 ):
     """Full Macenko fit+transform over planar (B, 3, R, 128) uint8 tiles —
     a SINGLE kernel per tile since r3 (estimation moments, scalar eigh,
@@ -540,17 +520,30 @@ def macenko_normalize_planar(
         axis=1,
     )
 
+    if tiles_per_step <= 0:
+        # Default: interleave up to 4 tiles' latency-bound chains per grid
+        # step, VMEM permitting. The working set per 256^2 tile is ~3.4 MB
+        # against the 16 MB scoped-VMEM limit: 4 x 256^2 fits (measured
+        # 13.9 MB), 8 x 256^2 OOMs at 17 MB — so the budget is the T with
+        # T * R * L <= 4 * 256^2 (1 at 512^2, which is exactly the 4x256^2
+        # footprint).
+        budget = max((256 * 256 * 4) // (R * L), 1)
+        tiles_per_step = next(t for t in (4, 2, 1)
+                              if t <= budget and B % t == 0)
+    assert B % tiles_per_step == 0, (B, tiles_per_step)
+    T = tiles_per_step
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, 3, R, L), lambda i, s: (i, 0, 0, 0),
+        grid=(B // T,),
+        in_specs=[pl.BlockSpec((T, 3, R, L), lambda i, s: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 3, R, L), lambda i, s: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((T, 3, R, L), lambda i, s: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         functools.partial(_apply_kernel, q_angle=angular_percentile,
-                          q_conc=q_conc, n_pixels=R * L, n_bisect=n_bisect),
+                          q_conc=q_conc, n_pixels=R * L, n_bisect=n_bisect,
+                          tiles_per_step=T),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, 3, R, L), jnp.uint8),
         interpret=interpret,
@@ -579,40 +572,56 @@ _NSCAL_AUG = 13
 
 
 def _augment_kernel(scal_ref, rgb_ref, out_ref, *, q_angle: float,
-                    n_bisect: int, estimate: bool = True):
+                    n_bisect: int, estimate: bool = True,
+                    tiles_per_step: int = 1):
     """``estimate=True``: the Macenko stain matrix is derived fully
     in-kernel (moments -> scalar eigh -> angular percentiles);
     ``estimate=False``: scal[0:6] IS the 2x3 stain matrix rows (e.g. a
-    Vahadane dictionary computed upstream)."""
-    img = pl.program_id(0)
+    Vahadane dictionary computed upstream). ``tiles_per_step`` interleaves
+    several tiles' latency-bound chains; bitwise identical for any T."""
+    base = pl.program_id(0) * tiles_per_step
 
-    def sc(i):
-        return scal_ref[img, i]
+    tiles = []
+    angle_searches = []
+    for t in range(tiles_per_step):
+        def sc(i, t=t):
+            return scal_ref[base + t, i]
 
-    od0, od1, od2, mask = _od_and_mask(rgb_ref[0], sc(11))
+        od0, od1, od2, mask = _od_and_mask(rgb_ref[t], sc(11))
+        if estimate:
+            stats = _od_moments(od0, od1, od2, mask.astype(jnp.float32))
+            v = _eigenplane_scalars(stats)
+            angle_searches += _angle_searches(
+                _pseudo_angle(od0, od1, od2, v), mask, stats[0], q_angle)
+        else:
+            v = None
+        tiles.append((sc, od0, od1, od2, mask, v))
+
     if estimate:
-        stats = _od_moments(od0, od1, od2, mask.astype(jnp.float32))
-        v = _eigenplane_scalars(stats)
-        h0, h1, h2, e0, e1, e2 = _macenko_vectors(
-            od0, od1, od2, mask, stats[0], v,
-            q_angle=q_angle, n_bisect=n_bisect,
-        )
-    else:
-        h0, h1, h2 = sc(0), sc(1), sc(2)
-        e0, e1, e2 = sc(3), sc(4), sc(5)
-    c1, c2 = _lasso2(od0, od1, od2, (h0, h1, h2), (e0, e1, e2), sc(10))
+        bounds = _multi_masked_percentile(angle_searches,
+                                          n_iters=max(n_bisect - 4, 8))
 
-    # Per-stain alpha/beta on tissue pixels (all pixels when
-    # augment_background), then reconstruct through the SOURCE matrix —
-    # StainAugmentor.pop (augmenter.py:428-448); no percentile rescale.
-    gate = mask | (sc(12) > 0.5)
-    c1a = jnp.where(gate, c1 * sc(6) + sc(8), c1)
-    c2a = jnp.where(gate, c2 * sc(7) + sc(9), c2)
-    rows = ((h0, e0), (h1, e1), (h2, e2))
-    for ch in range(3):
-        od_out = c1a * rows[ch][0] + c2a * rows[ch][1]
-        val = 255.0 * jnp.exp(-od_out)
-        out_ref[0, ch] = jnp.clip(val, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+    for t, (sc, od0, od1, od2, mask, v) in enumerate(tiles):
+        if estimate:
+            h0, h1, h2, e0, e1, e2 = _stain_rows_from_bounds(
+                v, bounds[2 * t], bounds[2 * t + 1])
+        else:
+            h0, h1, h2 = sc(0), sc(1), sc(2)
+            e0, e1, e2 = sc(3), sc(4), sc(5)
+        c1, c2 = _lasso2(od0, od1, od2, (h0, h1, h2), (e0, e1, e2), sc(10))
+
+        # Per-stain alpha/beta on tissue pixels (all pixels when
+        # augment_background), then reconstruct through the SOURCE matrix —
+        # StainAugmentor.pop (augmenter.py:428-448); no percentile rescale.
+        gate = mask | (sc(12) > 0.5)
+        c1a = jnp.where(gate, c1 * sc(6) + sc(8), c1)
+        c2a = jnp.where(gate, c2 * sc(7) + sc(9), c2)
+        rows = ((h0, e0), (h1, e1), (h2, e2))
+        for ch in range(3):
+            od_out = c1a * rows[ch][0] + c2a * rows[ch][1]
+            val = 255.0 * jnp.exp(-od_out)
+            out_ref[t, ch] = jnp.clip(val, 0.0, 255.0).astype(
+                jnp.int32).astype(jnp.uint8)
 
 
 @functools.partial(
@@ -654,17 +663,19 @@ def macenko_augment_planar(
         ],
         axis=1,
     )
+    budget = max((256 * 256 * 4) // (R * L), 1)
+    T = next(t for t in (4, 2, 1) if t <= budget and B % t == 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, 3, R, L), lambda i, s: (i, 0, 0, 0),
+        grid=(B // T,),
+        in_specs=[pl.BlockSpec((T, 3, R, L), lambda i, s: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 3, R, L), lambda i, s: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((T, 3, R, L), lambda i, s: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         functools.partial(_augment_kernel, q_angle=angular_percentile,
-                          n_bisect=n_bisect),
+                          n_bisect=n_bisect, tiles_per_step=T),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, 3, R, L), jnp.uint8),
         interpret=interpret,

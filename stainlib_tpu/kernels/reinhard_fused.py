@@ -26,43 +26,50 @@ LANES = 128
 _NSCAL = 8
 
 
-def _percentile_u8(v0, v1, v2, q, n):
-    """q-th percentile over three uint8-valued f32 planes jointly —
-    np.percentile semantics. Values are integers in [0, 255]: bisection over
-    that grid needs 10 iterations for the exact pair of order statistics."""
+def _percentile_u8_multi(triplets, q, n):
+    """q-th percentile over three uint8-valued f32 planes jointly, for
+    SEVERAL tiles at once (one latency-bound chain per tile, interleaved —
+    see ``fused_stain._multi_masked_percentile`` for the rationale) —
+    np.percentile semantics. Values are integers in [0, 255]: bisection
+    over that grid needs 10 iterations for the exact order statistic."""
     rank_f = q / 100.0 * (n - 1.0)
     rank_lo = jnp.floor(rank_f)
     frac = rank_f - rank_lo
 
-    def counts(mid):
+    def counts(planes, mid):
+        v0, v1, v2 = planes
         return (jnp.sum(jnp.where(v0 <= mid, 1.0, 0.0))
                 + jnp.sum(jnp.where(v1 <= mid, 1.0, 0.0))
                 + jnp.sum(jnp.where(v2 <= mid, 1.0, 0.0)))
 
     def body(_, state):
-        lo, hi = state
-        mid = 0.5 * (lo + hi)
-        take = counts(mid) > rank_lo
-        return jnp.where(take, lo, mid), jnp.where(take, mid, hi)
+        out = []
+        for planes, (lo, hi) in zip(triplets, state):
+            mid = 0.5 * (lo + hi)
+            take = counts(planes, mid) > rank_lo
+            out.append((jnp.where(take, lo, mid), jnp.where(take, mid, hi)))
+        return tuple(out)
 
-    lo = jnp.float32(-0.5)
-    hi = jnp.float32(255.5)
-    _, hi_a = jax.lax.fori_loop(0, 10, body, (lo, hi))
-    # Snap to the integer grid (values ARE integers; final width 0.25 < the
-    # 0.5 snap radius, so this is the exact rank_lo order statistic).
-    v_lo = jnp.round(hi_a)
-    # rank_lo+1 partner: same value iff the count at v_lo exceeds it,
-    # else exactly the smallest value above v_lo — one count + one
-    # 3-plane min instead of a second 10-iteration chain.
+    init = (jnp.float32(-0.5), jnp.float32(255.5))
+    state = jax.lax.fori_loop(0, 10, body, tuple(init for _ in triplets))
+    results = []
     BIG = jnp.float32(256.0)
-    in_bracket = counts(v_lo) > rank_lo + 1.0
-    succ = jnp.minimum(
-        jnp.min(jnp.where(v0 > v_lo, v0, BIG)),
-        jnp.minimum(jnp.min(jnp.where(v1 > v_lo, v1, BIG)),
-                    jnp.min(jnp.where(v2 > v_lo, v2, BIG))),
-    )
-    v_hi = jnp.where(in_bracket, v_lo, jnp.minimum(succ, 255.0))
-    return v_lo * (1.0 - frac) + v_hi * frac
+    for (v0, v1, v2), (_, hi_a) in zip(triplets, state):
+        # Snap to the integer grid (values ARE integers; final width 0.25 <
+        # the 0.5 snap radius, so this is the exact rank_lo statistic).
+        v_lo = jnp.round(hi_a)
+        # rank_lo+1 partner: same value iff the count at v_lo exceeds it,
+        # else exactly the smallest value above v_lo — one count + one
+        # 3-plane min instead of a second 10-iteration chain.
+        in_bracket = counts((v0, v1, v2), v_lo) > rank_lo + 1.0
+        succ = jnp.minimum(
+            jnp.min(jnp.where(v0 > v_lo, v0, BIG)),
+            jnp.minimum(jnp.min(jnp.where(v1 > v_lo, v1, BIG)),
+                        jnp.min(jnp.where(v2 > v_lo, v2, BIG))),
+        )
+        v_hi = jnp.where(in_bracket, v_lo, jnp.minimum(succ, 255.0))
+        results.append(v_lo * (1.0 - frac) + v_hi * frac)
+    return results
 
 
 def _rgb_to_lab_planes(c0, c1, c2):
@@ -131,56 +138,59 @@ def _lab_to_rgb_planes(L, a, b):
 
 
 def _reinhard_kernel(scal_ref, rgb_ref, out_ref, *, n_pixels: int,
-                     brightness_q: float):
-    img = pl.program_id(0)
+                     brightness_q: float, tiles_per_step: int = 1):
+    base = pl.program_id(0) * tiles_per_step
 
-    def sc(i):
-        return scal_ref[img, i]
+    planes = []
+    for t in range(tiles_per_step):
+        rgb = rgb_ref[t].astype(jnp.int32).astype(jnp.float32)
+        planes.append((rgb[0], rgb[1], rgb[2]))
 
-    rgb = rgb_ref[0].astype(jnp.int32).astype(jnp.float32)
-    c0, c1, c2 = rgb[0], rgb[1], rgb[2]
-
-    # standardize_brightness (stain_utils.py:188-194) + uint8 truncation.
-    # NOTE the op ORDER (c * 255 then / p) matches the functional path
-    # exactly: multiply-by-reciprocal differs by an ulp at exact integers,
-    # which the floor() amplifies to a full uint8 step.
-    p = _percentile_u8(c0, c1, c2, brightness_q, jnp.float32(3 * n_pixels))
-    p = jnp.maximum(p, 1e-6)
-
-    def bright(c):
-        return jnp.floor(jnp.clip(c * 255.0 / p, 0.0, 255.0))
-
-    c0, c1, c2 = bright(c0), bright(c1), bright(c2)
-
-    L, a, b = _rgb_to_lab_planes(c0, c1, c2)
-    # Emulate the uint8 LAB image (reinhard.py::_quantize_lab).
-    L = jnp.clip(jnp.round(L * 2.55), 0.0, 255.0) / 2.55
-    a = jnp.clip(jnp.round(a + 128.0), 0.0, 255.0) - 128.0
-    b = jnp.clip(jnp.round(b + 128.0), 0.0, 255.0) - 128.0
+    # standardize_brightness (stain_utils.py:188-194) + uint8 truncation,
+    # all tiles' percentile chains interleaved. NOTE the op ORDER
+    # (c * 255 then / p) matches the functional path exactly:
+    # multiply-by-reciprocal differs by an ulp at exact integers, which
+    # the floor() amplifies to a full uint8 step.
+    ps = _percentile_u8_multi(planes, brightness_q,
+                              jnp.float32(3 * n_pixels))
 
     n = jnp.float32(n_pixels)
+    for t, ((c0, c1, c2), p) in enumerate(zip(planes, ps)):
+        def sc(i, t=t):
+            return scal_ref[base + t, i]
 
-    def stats(ch):
-        mu = jnp.sum(ch) / n
-        sd = jnp.sqrt(jnp.maximum(jnp.sum(ch * ch) / n - mu * mu, 1e-12))
-        return mu, sd
+        p = jnp.maximum(p, 1e-6)
 
-    muL, sdL = stats(L)
-    mua, sda = stats(a)
-    mub, sdb = stats(b)
+        def bright(c, p=p):
+            return jnp.floor(jnp.clip(c * 255.0 / p, 0.0, 255.0))
 
-    L = (L - muL) * (sc(3) / sdL) + sc(0)
-    a = (a - mua) * (sc(4) / sda) + sc(1)
-    b = (b - mub) * (sc(5) / sdb) + sc(2)
+        L, a, b = _rgb_to_lab_planes(bright(c0), bright(c1), bright(c2))
+        # Emulate the uint8 LAB image (reinhard.py::_quantize_lab).
+        L = jnp.clip(jnp.round(L * 2.55), 0.0, 255.0) / 2.55
+        a = jnp.clip(jnp.round(a + 128.0), 0.0, 255.0) - 128.0
+        b = jnp.clip(jnp.round(b + 128.0), 0.0, 255.0) - 128.0
 
-    # merge_back truncation in the packed domain, then LAB->RGB + rounding.
-    L = jnp.floor(jnp.clip(L * 2.55, 0.0, 255.0)) / 2.55
-    a = jnp.floor(jnp.clip(a + 128.0, 0.0, 255.0)) - 128.0
-    b = jnp.floor(jnp.clip(b + 128.0, 0.0, 255.0)) - 128.0
-    r, g, bl = _lab_to_rgb_planes(L, a, b)
-    for ch, plane in enumerate((r, g, bl)):
-        out_ref[0, ch] = jnp.clip(jnp.round(plane), 0.0, 255.0).astype(
-            jnp.int32).astype(jnp.uint8)
+        def stats(ch):
+            mu = jnp.sum(ch) / n
+            sd = jnp.sqrt(jnp.maximum(jnp.sum(ch * ch) / n - mu * mu, 1e-12))
+            return mu, sd
+
+        muL, sdL = stats(L)
+        mua, sda = stats(a)
+        mub, sdb = stats(b)
+
+        L = (L - muL) * (sc(3) / sdL) + sc(0)
+        a = (a - mua) * (sc(4) / sda) + sc(1)
+        b = (b - mub) * (sc(5) / sdb) + sc(2)
+
+        # merge_back truncation in the packed domain, then LAB->RGB+round.
+        L = jnp.floor(jnp.clip(L * 2.55, 0.0, 255.0)) / 2.55
+        a = jnp.floor(jnp.clip(a + 128.0, 0.0, 255.0)) - 128.0
+        b = jnp.floor(jnp.clip(b + 128.0, 0.0, 255.0)) - 128.0
+        r, g, bl = _lab_to_rgb_planes(L, a, b)
+        for ch, plane in enumerate((r, g, bl)):
+            out_ref[t, ch] = jnp.clip(jnp.round(plane), 0.0, 255.0).astype(
+                jnp.int32).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("brightness_q", "interpret"))
@@ -199,17 +209,22 @@ def reinhard_normalize_planar(rgb_planar, target_means, target_stds,
         jnp.broadcast_to(jnp.asarray(target_stds, jnp.float32), (B, 3)),
         jnp.zeros((B, 2), jnp.float32),
     ], axis=1)
+    # T=2: the per-tile brightness chain interleaves; the live set (3 f32
+    # planes per tile through the LAB round trip) keeps T below the
+    # Macenko kernel's 4.
+    budget = max((256 * 256 * 2) // (R * L), 1)
+    T = next(t for t in (2, 1) if t <= budget and B % t == 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, 3, R, L), lambda i, s: (i, 0, 0, 0),
+        grid=(B // T,),
+        in_specs=[pl.BlockSpec((T, 3, R, L), lambda i, s: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 3, R, L), lambda i, s: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((T, 3, R, L), lambda i, s: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         functools.partial(_reinhard_kernel, n_pixels=R * L,
-                          brightness_q=brightness_q),
+                          brightness_q=brightness_q, tiles_per_step=T),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, 3, R, L), jnp.uint8),
         interpret=interpret,
