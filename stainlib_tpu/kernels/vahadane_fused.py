@@ -46,24 +46,39 @@ LANES = 128
 
 def _dict_kernel(rgb_ref, out_ref, *, regularizer: float,
                  num_iters: int, luminosity_threshold: float,
-                 n_bisect: int):
-    od0, od1, od2, mask = _od_and_mask(rgb_ref[0], luminosity_threshold)
-    m = mask.astype(jnp.float32)
+                 n_bisect: int, tiles_per_step: int = 1):
+    """``tiles_per_step`` tiles per grid step: each BCD iteration carries
+    nine latency-bound sufficient-statistic reductions, so interleaving
+    several tiles' (independent, bitwise-identical) chains recovers the
+    same ILP win as the Macenko kernel (see
+    ``fused_stain._multi_masked_percentile``)."""
+    from stainlib_tpu.kernels.macenko_fused import (
+        _angle_searches, _pseudo_angle, _stain_rows_from_bounds)
+    from stainlib_tpu.kernels.fused_stain import _multi_masked_percentile
 
-    # Warm start: the Macenko estimate, derived fully in-kernel since r3
-    # (masked moments -> scalar Newton eigh -> one angular-percentile
-    # bisection) while the tile is VMEM-resident. It sits ~1e-2 from the
+    # Phase 1 (per tile): OD/mask -> moments -> eigh -> pseudo-angles for
+    # the Macenko warm start (in-kernel since r3; it sits ~1e-2 from the
     # Vahadane optimum, so the BCD below needs ~12 alternations instead of
-    # the ~30 the fixed Ruifrok-Johnston prior required (convergence study
-    # in BASELINE.md).
-    stats = _od_moments(od0, od1, od2, m)
-    n_valid = stats[0]
-    d_init = _macenko_vectors(
-        od0, od1, od2, mask, n_valid, _eigenplane_scalars(stats),
-        q_angle=99.0, n_bisect=n_bisect,
-    )
+    # the ~30 a fixed Ruifrok-Johnston prior required — BASELINE.md).
+    tiles = []
+    angle_searches = []
+    for t in range(tiles_per_step):
+        od0, od1, od2, mask = _od_and_mask(rgb_ref[t], luminosity_threshold)
+        m = mask.astype(jnp.float32)
+        stats = _od_moments(od0, od1, od2, m)
+        v = _eigenplane_scalars(stats)
+        angle_searches += _angle_searches(
+            _pseudo_angle(od0, od1, od2, v), mask, stats[0], 99.0)
+        tiles.append((od0, od1, od2, m, stats[0], v))
 
-    def body(_, D):
+    bounds = _multi_masked_percentile(angle_searches,
+                                      n_iters=max(n_bisect - 4, 8))
+    d_inits = [
+        _stain_rows_from_bounds(v, bounds[2 * t], bounds[2 * t + 1])
+        for t, (_, _, _, _, _, v) in enumerate(tiles)
+    ]
+
+    def one_tile_bcd(D, od0, od1, od2, m):
         d00, d01, d02, d10, d11, d12 = D
         # Exact non-negative lasso for every pixel under the current rows.
         g11 = d00 * d00 + d01 * d01 + d02 * d02
@@ -126,21 +141,26 @@ def _dict_kernel(rgb_ref, out_ref, *, regularizer: float,
             return d00, d01, d02, d10, d11, d12
 
         D = update(d00, d01, d02, d10, d11, d12)
-        D = update(*D)
-        return D
+        return update(*D)
 
-    D = jax.lax.fori_loop(0, num_iters, body, d_init)
-    d00, d01, d02, d10, d11, d12 = D
+    def body(_, Ds):
+        return tuple(
+            one_tile_bcd(D, od0, od1, od2, m)
+            for D, (od0, od1, od2, m, _, _) in zip(Ds, tiles)
+        )
+
+    Ds = jax.lax.fori_loop(0, num_iters, body, tuple(d_inits))
 
     # Stats-plane output (see macenko_fused kernel A for the layout note):
-    # row 0 lanes 0..6 = [d00..d12, n_valid].
-    vals = [d00, d01, d02, d10, d11, d12, n_valid]
+    # per tile, row 0 lanes 0..6 = [d00..d12, n_valid].
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    acc = jnp.zeros((8, 128), jnp.float32)
-    for k, v in enumerate(vals):
-        acc = acc + jnp.where((row == 0) & (lane == k), v, 0.0)
-    out_ref[0] = acc
+    for t, (D, tile) in enumerate(zip(Ds, tiles)):
+        vals = list(D) + [tile[4]]
+        acc = jnp.zeros((8, 128), jnp.float32)
+        for k, v in enumerate(vals):
+            acc = acc + jnp.where((row == 0) & (lane == k), v, 0.0)
+        out_ref[t] = acc
 
 
 @functools.partial(
@@ -167,15 +187,20 @@ def vahadane_stain_matrix_planar(
     """
     B, C, R, L = rgb_planar.shape
     assert C == 3 and L == LANES
+    # Interleave 2 tiles per grid step (the BCD live set — OD x3 + mask per
+    # tile — keeps T below the Macenko kernel's 4).
+    budget = max((256 * 256 * 2) // (R * L), 1)
+    T = next(t for t in (2, 1) if t <= budget and B % t == 0)
     plane = pl.pallas_call(
         functools.partial(
             _dict_kernel, regularizer=regularizer, num_iters=num_iters,
             luminosity_threshold=luminosity_threshold, n_bisect=n_bisect,
+            tiles_per_step=T,
         ),
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, 3, R, L), lambda i: (i, 0, 0, 0),
+        grid=(B // T,),
+        in_specs=[pl.BlockSpec((T, 3, R, L), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((T, 8, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
         interpret=interpret,
