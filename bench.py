@@ -24,7 +24,9 @@ ITERS = int(sys.argv[sys.argv.index("--iters") + 1]) if "--iters" in sys.argv el
 # BASELINE.json configs: 'macenko' (#2, default headline), 'vahadane' (#4),
 # 'reinhard' (#1), 'augment' (#3), or 'streaming' (#5); plus the model
 # families: 'flow' (residual-flow+GMM train step) and 'dann' (adversarial
-# train step).
+# train step); plus r3 paths: 'large' (1024^2 functional with streaming
+# count-bisection percentiles) and 'pop' (fit-once/pop-many fused
+# StainAugmentor draws).
 CONFIG = (sys.argv[sys.argv.index("--config") + 1]
           if "--config" in sys.argv else "macenko")
 
@@ -483,6 +485,85 @@ def bench_dann():
     }))
 
 
+def bench_large():
+    """Functional (pure-XLA) path at 1024^2 with streaming count-bisection
+    percentiles (ops/percentile.py) — the >512^2 route of the drop-in API.
+    Reported in 256-equivalent tiles/s."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from stainlib_tpu.normalization import extractive
+
+    h = 1024
+    b = max(BATCH // 64, 2)
+    tiles = jax.device_put(jnp.asarray(make_tiles(b, h, h, seed=0)))
+    target = jnp.asarray(make_tiles(1, seed=99)[0])
+    params = jax.tree.map(jax.block_until_ready,
+                          extractive.fit(target, method="macenko"))
+
+    def run(x):
+        return extractive.transform_jit(params, x)
+
+    equiv = b * (h * h) // (TILE * TILE)
+    tps = chain_tps(jax, run, tiles, [()] * (ITERS + 1), equiv)
+    cpu_tps = bench_cpu(np.asarray(make_tiles(2)),
+                        np.asarray(params.stain_matrix_target, np.float64),
+                        np.asarray(params.max_c_target, np.float64), n=2)
+    print(json.dumps({
+        "metric": f"macenko_norm_{h}x{h}_256equiv_tiles_per_sec[functional_bisect]",
+        "value": round(tps, 2), "unit": "tiles/s",
+        "vs_baseline": round(tps / cpu_tps, 2),
+    }))
+
+
+def bench_pop():
+    """Fit-once/pop-many fused StainAugmentor: the per-draw kernel rate with
+    a cached per-tile Vahadane dictionary (augmenter.py:416-448 contract)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from stainlib_tpu.augmentation.functional import stain_augment_fit_fused
+    from stainlib_tpu.kernels.macenko_fused import augment_with_matrix_planar
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    st = stain_augment_fit_fused(make_tiles(BATCH), method="vahadane",
+                                 interpret=not on_tpu)
+    alpha = jnp.full((BATCH, 2), 1.05, jnp.float32)
+    beta = jnp.full((BATCH, 2), 0.02, jnp.float32)
+
+    def pop(x):
+        return augment_with_matrix_planar(x, st.stain_matrix, alpha, beta,
+                                          interpret=not on_tpu)
+
+    planar = jax.device_put(st.planar)
+    tps = chain_tps(jax, jax.jit(pop), planar, [()] * (ITERS + 1), BATCH)
+    # CPU baseline: one functional pop on the same host.
+    import time as _t
+
+    from stainlib_tpu.augmentation import functional as F
+
+    params = F.stain_augment_fit(jnp.asarray(make_tiles(4)),
+                                 method="macenko")
+    jax.block_until_ready(params)
+    t0 = _t.perf_counter()
+    with jax.default_device(jax.devices("cpu")[0]):
+        out = F.stain_augment_pop(jax.device_put(
+            params, jax.devices("cpu")[0]), jax.random.PRNGKey(0))
+        jax.block_until_ready(out)
+    cpu_tps = 4 / (_t.perf_counter() - t0)
+    print(json.dumps({
+        "metric": f"stain_augment_pop_{TILE}x{TILE}_tiles_per_sec[fit_once_fused]",
+        "value": round(tps, 2), "unit": "tiles/s",
+        "vs_baseline": round(tps / cpu_tps, 2),
+    }))
+
+
 def main():
     if CONFIG == "streaming":
         return bench_streaming()
@@ -494,6 +575,10 @@ def main():
         return bench_flow()
     if CONFIG == "dann":
         return bench_dann()
+    if CONFIG == "large":
+        return bench_large()
+    if CONFIG == "pop":
+        return bench_pop()
     import jax
 
     # Remote TPU compiles are slow; persist them across runs.
