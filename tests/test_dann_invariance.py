@@ -30,6 +30,7 @@ CI scale (39x39); full-size numbers live in
 """
 
 import numpy as np
+import pytest
 
 from stainlib_tpu.data.synthetic import two_domain_task
 from stainlib_tpu.models import dann
@@ -51,6 +52,7 @@ def _trained(phases, iters, seed, Xtr, ytr, dtr):
     return model, state
 
 
+@pytest.mark.slow
 def test_domain_probe_toward_chance_under_dann_while_task_holds():
     Xtr, ytr, dtr = two_domain_task(768, seed=0, correlation=0.5, size=SIZE)
     Xva, yva, dva = two_domain_task(256, seed=5, correlation=0.5, size=SIZE)

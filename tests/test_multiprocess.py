@@ -12,6 +12,8 @@ gradients pmean'd across the process boundary via Gloo. Worker:
 """
 
 import os
+
+import pytest
 import socket
 import subprocess
 import sys
@@ -26,6 +28,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_flow_step():
     port = _free_port()
     env = dict(os.environ)

@@ -27,6 +27,7 @@ def test_make_mesh_axes():
 
 
 @requires_8
+@pytest.mark.slow
 def test_sharded_normalize_matches_single_device():
     mesh = make_mesh(8, data=8)
     target = jnp.asarray(he_patch(32, 32, seed=80))
@@ -84,6 +85,7 @@ def test_local_data_shard_partition():
 
 
 @requires_8
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import importlib.util, pathlib
 
