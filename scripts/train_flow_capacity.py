@@ -38,6 +38,8 @@ def parse_args(argv):
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--resume-steps", type=int, default=3)
     p.add_argument("--tiles-per-center", type=int, default=8)
+    p.add_argument("--template-tiles", type=int, default=0,
+                   help="template pool size (0 = max(4*batch, 32))")
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--out", default="/tmp/flow_capacity")
     p.add_argument("--seed", type=int, default=0)
@@ -72,7 +74,7 @@ def run(args):
     s = cfg.image_size
     os.makedirs(args.out, exist_ok=True)
 
-    n_tmpl = max(args.batch * 4, 32)
+    n_tmpl = args.template_tiles or max(args.batch * 4, 32)
     tmpl_tiles = center_tiles(0, n_tmpl, s, s, seed=args.seed + 100)
     to_hsd = jax.jit(rgb_to_hsd)
     tmpl_hsd = np.asarray(to_hsd(jnp.asarray(tmpl_tiles)))
