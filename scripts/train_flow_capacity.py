@@ -44,6 +44,9 @@ def parse_args(argv):
     p.add_argument("--out", default="/tmp/flow_capacity")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--skip-eval", action="store_true")
+    p.add_argument("--ema-val", action="store_true",
+                   help="validate with EMA parameters (the reference's "
+                        "--ema-val swap, train_img_horo.py:668-669)")
     p.add_argument("--cpu", action="store_true")
     return p.parse_args(argv)
 
@@ -152,8 +155,10 @@ def run(args):
             raw += [float(nmi(b[i], masks[i])) for i in range(b.shape[0])]
         raw_sd, raw_cv = nmi_sd_cv(raw)
         test_hsd = [np.asarray(to_hsd(jnp.asarray(b))) for b in test_rgb]
+        eval_params = (restored.ema.params if args.ema_val
+                       else restored.params)
         res = validate(
-            flow, gmm, cfg, restored.params, restored.spectral,
+            flow, gmm, cfg, eval_params, restored.spectral,
             [tmpl_hsd[i: i + args.batch]
              for i in range(0, n_tmpl, args.batch)],
             test_hsd, jax.random.PRNGKey(args.seed + 1), out_dir=args.out)
