@@ -38,6 +38,20 @@ def _check_uint8_image(I):
         raise AssertionError("Image should be RGB uint8.")
 
 
+@jax.jit
+def _mask_count(I, luminosity_threshold):
+    return _tissue.tissue_mask(I, luminosity_threshold).count
+
+
+def _require_tissue(I, luminosity_threshold: float = 0.8):
+    """The reference paths that (re-)estimate a stain matrix or mask the
+    background call ``get_tissue_mask``, which raises on an empty mask
+    (``normalizer.py:45,85`` -> ``stain_utils.py:46-47``). One jitted
+    scalar count keeps the single-image object layer's contract."""
+    if int(_mask_count(jnp.asarray(I), luminosity_threshold)) == 0:
+        raise TissueMaskException("Empty tissue mask computed")
+
+
 def _use_fused(I) -> bool:
     """Route single-image calls through the fused Pallas kernels on TPU
     (identical output within one uint8 step, far faster + cheaper compiles);
@@ -137,6 +151,9 @@ class ExtractiveStainNormalizer:
         _check_uint8_image(I)
         if self._params is None:
             raise RuntimeError("Call fit(target) before transform().")
+        # transform re-estimates the source stain matrix, which raises on
+        # an empty tissue mask in the reference (normalizer.py:45).
+        _require_tissue(I)
         if _use_fused(I):
             from stainlib_tpu.kernels.macenko_fused import macenko_normalize
             from stainlib_tpu.kernels.vahadane_fused import vahadane_normalize
@@ -173,6 +190,11 @@ class ReinhardStainNormalizer:
         _check_uint8_image(I)
         if self._params is None:
             raise RuntimeError("Call fit(target) before transform().")
+        if mask_background:
+            # The reference's background-masking branch calls
+            # get_tissue_mask, which raises on an empty mask
+            # (normalizer.py:85-90).
+            _require_tissue(I, luminosity_threshold)
         if not mask_background and _use_fused(I):
             from stainlib_tpu.kernels.reinhard_fused import reinhard_normalize
 

@@ -568,17 +568,25 @@ def macenko_normalize(rgb, stain_matrix_tgt, max_c_target, **kw):
 # [6:8] alpha (H, E), [8:10] beta (H, E),
 # [10] lasso regularizer, [11] luminosity threshold,
 # [12] augment_background flag
+# [13:19] (recon_in_scal only) separate reconstruction stain rows
 _NSCAL_AUG = 13
+_NSCAL_AUG_RECON = 19
 
 
 def _augment_kernel(scal_ref, rgb_ref, out_ref, *, q_angle: float,
                     n_bisect: int, estimate: bool = True,
+                    recon_in_scal: bool = False,
                     tiles_per_step: int = 1):
     """``estimate=True``: the Macenko stain matrix is derived fully
     in-kernel (moments -> scalar eigh -> angular percentiles);
     ``estimate=False``: scal[0:6] IS the 2x3 stain matrix rows (e.g. a
-    Vahadane dictionary computed upstream). ``tiles_per_step`` interleaves
-    several tiles' latency-bound chains; bitwise identical for any T."""
+    Vahadane dictionary computed upstream). ``recon_in_scal=True``
+    reconstructs through the separate rows in scal[13:19] instead of the
+    source rows — with alpha = maxC_tgt/maxC_src and beta = 0 this is
+    exactly the normalizer's fixed-matrix transform (``normalizer.py:46-50``
+    with the per-image estimation hoisted out, e.g. to slide level).
+    ``tiles_per_step`` interleaves several tiles' latency-bound chains;
+    bitwise identical for any T."""
     base = pl.program_id(0) * tiles_per_step
 
     tiles = []
@@ -616,7 +624,10 @@ def _augment_kernel(scal_ref, rgb_ref, out_ref, *, q_angle: float,
         gate = mask | (sc(12) > 0.5)
         c1a = jnp.where(gate, c1 * sc(6) + sc(8), c1)
         c2a = jnp.where(gate, c2 * sc(7) + sc(9), c2)
-        rows = ((h0, e0), (h1, e1), (h2, e2))
+        if recon_in_scal:
+            rows = ((sc(13), sc(16)), (sc(14), sc(17)), (sc(15), sc(18)))
+        else:
+            rows = ((h0, e0), (h1, e1), (h2, e2))
         for ch in range(3):
             od_out = c1a * rows[ch][0] + c2a * rows[ch][1]
             val = 255.0 * jnp.exp(-od_out)
@@ -734,6 +745,68 @@ def augment_with_matrix_planar(
     return pl.pallas_call(
         functools.partial(_augment_kernel, q_angle=99.0, n_bisect=1,
                           estimate=False),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 3, R, L), jnp.uint8),
+        interpret=interpret,
+    )(scal, rgb_planar)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("regularizer", "interpret"),
+)
+def normalize_with_matrix_planar(
+    rgb_planar,
+    stain_matrix_src,
+    max_c_src,
+    stain_matrix_tgt,
+    max_c_tgt,
+    regularizer: float = 0.01,
+    interpret: bool = False,
+):
+    """Fixed-matrix fused normalize over planar (B, 3, R, 128) uint8 tiles:
+    exact lasso against a FIXED per-tile (or broadcast slide-level) source
+    stain matrix, rescale every stain by ``max_c_tgt / max_c_src``, and
+    reconstruct through the target matrix — ``normalizer.py:46-50`` with
+    the per-image estimation hoisted out. One uint8 read, one uint8 write;
+    a pure streaming kernel (no bisection chains), so it runs at the
+    augment-apply rate. Used by slide-level WSI normalization
+    (``normalization/slide.py``), where one stain matrix per slide removes
+    tile-boundary stain discontinuities."""
+    B, C, R, L = rgb_planar.shape
+    assert C == 3 and L == LANES
+    M = jnp.broadcast_to(
+        jnp.asarray(stain_matrix_src, jnp.float32).reshape(-1, 6), (B, 6))
+    Mt = jnp.broadcast_to(
+        jnp.asarray(stain_matrix_tgt, jnp.float32).reshape(-1, 6), (B, 6))
+    mcs = jnp.broadcast_to(
+        jnp.asarray(max_c_src, jnp.float32).reshape(-1, 2), (B, 2))
+    mct = jnp.broadcast_to(
+        jnp.asarray(max_c_tgt, jnp.float32).reshape(-1, 2), (B, 2))
+    scale = mct / jnp.maximum(mcs, 1e-8)
+    scal = jnp.concatenate(
+        [
+            M,
+            scale,                                  # alpha = per-stain scale
+            jnp.zeros((B, 2), jnp.float32),         # beta = 0
+            jnp.full((B, 1), regularizer, jnp.float32),
+            jnp.full((B, 1), 0.8, jnp.float32),     # mask unused (gate all)
+            jnp.ones((B, 1), jnp.float32),          # gate all pixels
+            Mt,
+        ],
+        axis=1,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, 3, R, L), lambda i, s: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 3, R, L), lambda i, s: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_augment_kernel, q_angle=99.0, n_bisect=1,
+                          estimate=False, recon_in_scal=True),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, 3, R, L), jnp.uint8),
         interpret=interpret,

@@ -74,6 +74,32 @@ def transform(params: ExtractiveParams, rgb, method: str = "macenko",
 transform_jit = jax.jit(transform, static_argnames=("method", "regularizer"))
 
 
+def transform_with_matrix(rgb, stain_matrix_src, max_c_src,
+                          params: ExtractiveParams,
+                          regularizer: float = 0.01):
+    """Normalize with a FIXED source stain matrix / maxC instead of
+    re-estimating per image — ``normalizer.py:46-50`` with the estimation
+    hoisted out of the loop. This is the slide-level WSI transform
+    (``normalization/slide.py``): estimating one stain matrix per slide
+    (the physical reality — one staining batch per slide) removes the
+    tile-boundary stain discontinuities that per-tile re-estimation
+    produces on adjacent tiles.
+
+    (..., H, W, 3) RGB in [0,255] -> uint8 RGB.
+    """
+    C = get_concentrations(rgb, stain_matrix_src, regularizer)
+    scale = params.max_c_target / jnp.maximum(
+        jnp.asarray(max_c_src, jnp.float32), 1e-8)
+    C = C * scale[..., None, None, :]
+    od = jnp.einsum("...hwk,...kc->...hwc", C, params.stain_matrix_target,
+                    precision=_HI)
+    return to_uint8(255.0 * jnp.exp(-od))
+
+
+transform_with_matrix_jit = jax.jit(
+    transform_with_matrix, static_argnames=("regularizer",))
+
+
 def reconstruct(concentrations, stain_matrix):
     """``255 * exp(-C @ M)`` -> uint8; shared by the normalizer
     (``normalizer.py:49-50``) and the stain augmenter (``augmenter.py:445-448``)."""

@@ -65,6 +65,8 @@ def transform(
     mask_background: bool = False,
     luminosity_threshold: float = 0.8,
     quantize: bool = True,
+    source_stats: ReinhardParams | None = None,
+    brightness_divisor=None,
 ):
     """Normalize a batch toward the fitted statistics (``normalizer.py:70-94``).
 
@@ -72,14 +74,28 @@ def transform(
     ``mask_background=True``, non-tissue pixels are painted white
     (the reference's background=254-in-L trick saturates to L=100, a=b=0
     after merge_back's x2.55 clip; we write those LAB values directly).
+
+    ``source_stats`` / ``brightness_divisor`` replace the per-image source
+    LAB statistics and the per-image 90th-percentile brightness divisor
+    with fixed (e.g. slide-level) values — the estimation-hoisted variant
+    used by ``normalization/slide.py`` so adjacent WSI tiles share one
+    affine and show no tile-boundary seams.
     """
-    I = standardize_brightness(jnp.asarray(rgb, jnp.float32))
+    I = jnp.asarray(rgb, jnp.float32)
+    if brightness_divisor is None:
+        I = standardize_brightness(I)
+    else:
+        div = jnp.maximum(jnp.asarray(brightness_divisor, jnp.float32), 1e-6)
+        I = jnp.clip(I * 255.0 / div, 0.0, 255.0)
     if quantize:
         I = _quantize_u8(I)
     lab = rgb_to_lab(I)
     if quantize:
         lab = _quantize_lab(lab)
-    means, stds = mean_std(lab, axis=(-3, -2))
+    if source_stats is None:
+        means, stds = mean_std(lab, axis=(-3, -2))
+    else:
+        means, stds = source_stats.means, source_stats.stds
     scale = params.stds / jnp.maximum(stds, 1e-6)
     norm = (lab - means[..., None, None, :]) * scale[..., None, None, :]
     norm = norm + params.means[..., None, None, :]

@@ -1,0 +1,338 @@
+"""Whole-slide stain normalization: stream a WSI through the TPU, write a WSI.
+
+The reference's deployment story is the ``tester`` loop: iterate every tile
+of a slide through OpenSlide/PyVips decode and a per-patch CPU transform
+(``dlmodels/color-information/data_utils.py:1``; per-patch normalization
+``stainlib/normalization/normalizer.py:39-50``). This module is the
+TPU-native end-to-end equivalent as a single call: threaded native TIFF
+decode (``data/native.py``), an overlapped host->device prefetch ring
+(``data/pipeline.py``), the fused Pallas normalization kernels on-device,
+and a tiled pyramidal TIFF written back out.
+
+Estimation modes:
+
+* ``estimation='slide'`` (default): ONE stain matrix + maxC for the whole
+  slide, fitted on a mosaic of rejection-sampled tissue tiles, then applied
+  to every tile with the fixed-matrix kernel
+  (``kernels.macenko_fused.normalize_with_matrix_planar``). A slide is one
+  staining event, so one estimate is the physically meaningful choice — and
+  adjacent tiles share one color map, so the output has no tile-boundary
+  seams. The per-tile percentile/bisection machinery drops out entirely;
+  the apply runs at the streaming-kernel rate.
+* ``estimation='tile'``: the reference's exact per-patch semantics
+  (re-estimate per tile, ``normalizer.py:45-48``) via the fully-fused
+  per-tile kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Callable, NamedTuple, Optional, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class SlideStainParams(NamedTuple):
+    """Slide-level source estimate: one stain matrix + 99th-pct maxC."""
+
+    stain_matrix: np.ndarray  # (2, 3)
+    max_c: np.ndarray  # (2,)
+
+
+class SlideReinhardParams(NamedTuple):
+    """Slide-level Reinhard source estimate: LAB stats + brightness p90."""
+
+    stats: "object"  # reinhard.ReinhardParams
+    brightness_divisor: float
+
+
+def _open(slide_or_path):
+    from stainlib_tpu.data.native import open_slide
+
+    if isinstance(slide_or_path, (str, bytes)):
+        return open_slide(slide_or_path), True
+    return slide_or_path, False
+
+
+def _sample_mosaic(slide, level: int, tile: int, n_tiles: int, seed: int):
+    """Rejection-sampled tissue tiles stacked into one tall (n*t, t, 3)
+    image — percentiles/covariances over the mosaic ARE statistics over the
+    sampled tissue pixels (the white/stddev rejection mirrors the
+    reference sampler's background filter, ``data_utils.py:1``)."""
+    tiles, coords = slide.sample_tiles(level, tile, n_tiles, seed=seed)
+    kept = tiles[(coords[:, 0] >= 0)]
+    if len(kept) == 0:  # all-background slide: fall back to whatever came
+        kept = tiles
+    return kept.reshape(-1, tile, 3)
+
+
+def fit_slide(slide_or_path, method: str = "macenko", level: int = 0,
+              tile: int = 256, n_tiles: int = 32, seed: int = 0,
+              regularizer: float = 0.01,
+              **extractor_kwargs) -> SlideStainParams:
+    """Estimate one (stain matrix, maxC) for a whole slide from a mosaic of
+    rejection-sampled tissue tiles (Macenko or Vahadane). The mosaic's
+    pixel count (n_tiles * tile^2, default 2M) rides the streaming
+    count-bisection percentiles on TPU (``ops/percentile.py``)."""
+    slide, owned = _open(slide_or_path)
+    try:
+        mosaic = _sample_mosaic(slide, level, tile, n_tiles, seed)
+    finally:
+        if owned:
+            slide.close()
+    from stainlib_tpu.normalization import extractive
+
+    # One jitted dispatch: the eager op-by-op fit pays per-op round-trip
+    # latency on remote-dispatch setups (measured 36 s vs ~1 s here).
+    fit_fn = jax.jit(functools.partial(extractive.fit, method=method,
+                                       regularizer=regularizer,
+                                       **extractor_kwargs))
+    p = jax.device_get(fit_fn(jnp.asarray(mosaic)))
+    return SlideStainParams(
+        stain_matrix=np.asarray(p.stain_matrix_target),
+        max_c=np.asarray(p.max_c_target))
+
+
+def fit_slide_reinhard(slide_or_path, level: int = 0, tile: int = 256,
+                       n_tiles: int = 32, seed: int = 0,
+                       quantize: bool = True) -> SlideReinhardParams:
+    """Slide-level Reinhard source statistics: the 90th-percentile
+    brightness divisor and the post-standardization LAB mean/std of the
+    tissue mosaic (the per-image quantities of ``normalizer.py:70-83``
+    hoisted to slide scope)."""
+    slide, owned = _open(slide_or_path)
+    try:
+        mosaic = _sample_mosaic(slide, level, tile, n_tiles, seed)
+    finally:
+        if owned:
+            slide.close()
+    from stainlib_tpu.normalization import reinhard
+    from stainlib_tpu.ops.percentile import percentile
+
+    @jax.jit
+    def fit_fn(m):
+        x = jnp.asarray(m, jnp.float32)
+        p90 = percentile(x.reshape(-1), 90.0, axis=0)
+        return reinhard.fit(m, quantize=quantize), p90
+
+    stats, p90 = jax.device_get(fit_fn(jnp.asarray(mosaic)))
+    return SlideReinhardParams(stats=stats,
+                               brightness_divisor=float(p90))
+
+
+def _grid_coords(W: int, H: int, tile: int):
+    xs = list(range(0, W, tile))
+    ys = list(range(0, H, tile))
+    return [(x, y) for y in ys for x in xs]
+
+
+def _use_fused(tile: int) -> bool:
+    return (jax.default_backend() == "tpu"
+            and (tile * tile) % 128 == 0 and tile * tile <= 512 * 512)
+
+
+def _make_apply(method: str, estimation: str, target_params, src,
+                tile: int, regularizer: float, interpret: bool):
+    """Returns jitted (B, t, t, 3) uint8 -> (B, t, t, 3) uint8."""
+    from stainlib_tpu.normalization import extractive, reinhard
+
+    fused = interpret or _use_fused(tile)
+    # Every branch is ONE jitted dispatch per batch (planarize + kernel +
+    # deplanarize included): eager glue pays per-op round-trip latency on
+    # remote-dispatch setups.
+    if method == "reinhard":
+        @jax.jit
+        def apply_fn(batch):
+            return reinhard.transform(
+                target_params, batch, source_stats=src.stats,
+                brightness_divisor=src.brightness_divisor)
+        return apply_fn
+    if estimation == "slide":
+        if fused:
+            from stainlib_tpu.kernels.fused_stain import from_planar, to_planar
+            from stainlib_tpu.kernels.macenko_fused import (
+                normalize_with_matrix_planar)
+
+            @jax.jit
+            def apply_fn(batch):
+                out = normalize_with_matrix_planar(
+                    to_planar(batch),
+                    src.stain_matrix, src.max_c,
+                    target_params.stain_matrix_target,
+                    target_params.max_c_target,
+                    regularizer=regularizer, interpret=interpret)
+                return from_planar(out, tile, tile)
+            return apply_fn
+
+        @jax.jit
+        def apply_fn(batch):
+            return extractive.transform_with_matrix(
+                batch, src.stain_matrix, src.max_c,
+                target_params, regularizer=regularizer)
+        return apply_fn
+
+    # estimation == 'tile': the reference's exact per-patch semantics.
+    if fused:
+        from stainlib_tpu.kernels.fused_stain import from_planar, to_planar
+        if method == "macenko":
+            from stainlib_tpu.kernels.macenko_fused import (
+                macenko_normalize_planar as kern)
+        else:
+            from stainlib_tpu.kernels.vahadane_fused import (
+                vahadane_normalize_planar as kern)
+
+        @jax.jit
+        def apply_fn(batch):
+            out = kern(to_planar(batch),
+                       target_params.stain_matrix_target,
+                       target_params.max_c_target, interpret=interpret)
+            return from_planar(out, tile, tile)
+        return apply_fn
+
+    @jax.jit
+    def apply_fn(batch):
+        return extractive.transform(target_params, batch, method=method,
+                                    regularizer=regularizer)
+    return apply_fn
+
+
+def build_pyramid(level0: np.ndarray, min_dim: int = 512):
+    """2x box-mean reduced-resolution levels down to ``min_dim`` (the .svs
+    layout the native writer emits; odd trailing rows/cols are cropped,
+    matching how scanners truncate)."""
+    levels = [level0]
+    cur = level0
+    while min(cur.shape[0] // 2, cur.shape[1] // 2) >= min_dim:
+        h2, w2 = cur.shape[0] // 2, cur.shape[1] // 2
+        c = cur[: 2 * h2, : 2 * w2].astype(np.uint16)
+        cur = ((c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2]
+                + c[1::2, 1::2] + 2) // 4).astype(np.uint8)
+        levels.append(cur)
+    return levels
+
+
+def normalize_slide(
+    src_path: str,
+    out_path: str,
+    target,
+    method: str = "macenko",
+    estimation: str = "slide",
+    tile: int = 256,
+    batch: int = 64,
+    level: int = 0,
+    n_fit_tiles: int = 32,
+    seed: int = 0,
+    regularizer: float = 0.01,
+    min_pyramid: int = 512,
+    compression: str = "jpeg",
+    quality: int = 90,
+    prefetch_depth: int = 3,
+    prefetch_workers: int = 2,
+    progress: Optional[Callable[[int, int], None]] = None,
+    interpret: bool = False,
+) -> dict:
+    """Normalize every tile of a WSI toward ``target`` and write a tiled
+    pyramidal TIFF. Returns a summary dict (dims, tiles, modes).
+
+    ``target``: an (H, W, 3) uint8 target image, a path to one, or
+    pre-fitted params (``ExtractiveParams`` / ``ReinhardParams``).
+    ``estimation``: 'slide' (one stain estimate for the whole slide;
+    seam-free, fastest) or 'tile' (the reference's per-patch re-estimation,
+    ``normalizer.py:45-48``).
+    """
+    from stainlib_tpu.data.native import write_tiff_pyramid
+    from stainlib_tpu.data.pipeline import DevicePrefetcher
+    from stainlib_tpu.normalization import extractive, reinhard
+
+    method = method.lower()
+    if method not in ("macenko", "vahadane", "reinhard"):
+        raise ValueError(f"unknown method {method!r}")
+    if estimation not in ("slide", "tile"):
+        raise ValueError(f"unknown estimation {estimation!r}")
+
+    # Target params.
+    if isinstance(target, (str, bytes)):
+        from PIL import Image
+
+        target = np.asarray(Image.open(target).convert("RGB"))
+    if isinstance(target, (extractive.ExtractiveParams,
+                           reinhard.ReinhardParams)):
+        target_params = target
+    elif method == "reinhard":
+        target_params = jax.device_get(
+            jax.jit(reinhard.fit)(jnp.asarray(target)))
+    else:
+        target_params = jax.device_get(jax.jit(functools.partial(
+            extractive.fit, method=method, regularizer=regularizer))(
+                jnp.asarray(target)))
+
+    slide, _ = _open(src_path)
+    try:
+        W, H = slide.level_size(level)
+
+        # Slide-level source estimation.
+        src = None
+        if method == "reinhard":
+            src = fit_slide_reinhard(slide, level=level, tile=tile,
+                                     n_tiles=n_fit_tiles, seed=seed)
+        elif estimation == "slide":
+            src = fit_slide(slide, method=method, level=level, tile=tile,
+                            n_tiles=n_fit_tiles, seed=seed,
+                            regularizer=regularizer)
+
+        apply_fn = _make_apply(method, estimation, target_params, src,
+                               tile, regularizer, interpret)
+
+        coords = _grid_coords(W, H, tile)
+        n_batches = math.ceil(len(coords) / batch)
+        canvas = np.empty((H, W, 3), np.uint8)
+
+        read_regions = getattr(slide, "read_regions", None)
+
+        def host_batches():
+            for i in range(n_batches):
+                chunk = coords[i * batch : (i + 1) * batch]
+                xs = np.asarray(chunk, np.int64)
+                if read_regions is not None:  # threaded native batch decode
+                    yield chunk, read_regions(level, xs, tile, tile)
+                else:  # WSIRAW mmap slides decode per region
+                    yield chunk, np.stack([
+                        slide.read_region(level, int(x), int(y), tile, tile)
+                        for x, y in chunk])
+
+        # The prefetcher overlaps threaded decode + host->device DMA with
+        # device compute (data/pipeline.py); coords pass through as-is.
+        pf = DevicePrefetcher(
+            host_batches(), depth=prefetch_depth,
+            transform=lambda cb: (np.asarray(cb[0], np.int64), cb[1]),
+            workers=prefetch_workers)
+        done = 0
+        for chunk_xy, dev_batch in pf:
+            out = np.asarray(apply_fn(dev_batch))
+            for (x, y), img in zip(np.asarray(chunk_xy), out):
+                x, y = int(x), int(y)
+                h_v = min(tile, H - y)
+                w_v = min(tile, W - x)
+                canvas[y : y + h_v, x : x + w_v] = img[:h_v, :w_v]
+            done += 1
+            if progress is not None:
+                progress(done, n_batches)
+
+        levels = build_pyramid(canvas, min_dim=min_pyramid)
+        write_tiff_pyramid(out_path, levels, tile=tile,
+                           compression=compression, quality=quality)
+        return {
+            "width": W,
+            "height": H,
+            "tiles": len(coords),
+            "levels": len(levels),
+            "method": method,
+            "estimation": "slide" if method == "reinhard" else estimation,
+            "fused": interpret or _use_fused(tile),
+        }
+    finally:
+        slide.close()

@@ -35,6 +35,24 @@ def test_tissue_mask_exception_on_white():
         sl.MacenkoStainExtractor.get_stain_matrix(white)
 
 
+def test_transform_raises_on_white():
+    """transform re-estimates the source matrix, so a tissue-free image
+    raises like the reference (normalizer.py:45 -> stain_utils.py:46-47);
+    Reinhard only masks tissue when mask_background=True
+    (normalizer.py:85-90)."""
+    white = np.full((16, 16, 3), 255, np.uint8)
+    norm = sl.ExtractiveStainNormalizer(method="macenko")
+    norm.fit(he_patch(48, 48, seed=50))
+    with pytest.raises(sl.TissueMaskException):
+        norm.transform(white)
+
+    rn = sl.ReinhardStainNormalizer()
+    rn.fit(he_patch(48, 48, seed=51))
+    rn.transform(white)  # no masking: the reference does not raise
+    with pytest.raises(sl.TissueMaskException):
+        rn.transform(white, mask_background=True)
+
+
 def test_extractive_normalizer_macenko_roundtrip():
     norm = sl.ExtractiveStainNormalizer(method="macenko")
     norm.fit(he_patch(48, 48, seed=50))

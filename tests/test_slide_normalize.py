@@ -1,0 +1,178 @@
+"""Whole-slide normalization: fixed-matrix transform + the end-to-end
+slide->slide driver (the reference's ``tester`` deployment loop,
+``data_utils.py:1`` + ``normalizer.py:39-50``, as one call)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from stainlib_tpu.data import native
+from stainlib_tpu.normalization import extractive
+from stainlib_tpu.normalization.slide import (
+    build_pyramid, fit_slide, normalize_slide)
+from tests.synth import he_batch, he_patch
+
+requires_native = pytest.mark.skipif(
+    not native.tiff_native_available(), reason="libtiff toolchain missing")
+
+# A target with a deliberately different stain geometry than HE_TRUE.
+TGT_STAIN = np.array([[0.65, 0.70, 0.29], [0.07, 0.99, 0.11]])
+TGT_STAIN = TGT_STAIN / np.linalg.norm(TGT_STAIN, axis=1, keepdims=True)
+
+
+def test_transform_with_matrix_matches_per_image_path():
+    """With the matrix/maxC taken FROM the image, the fixed-matrix
+    transform must reproduce the per-image re-estimating transform."""
+    target = he_patch(32, 64, seed=10, stain=TGT_STAIN)
+    img = he_patch(32, 64, seed=11)
+    params = extractive.fit(jnp.asarray(target), method="macenko")
+    src = extractive.fit(jnp.asarray(img), method="macenko")
+    want = np.asarray(extractive.transform(params, jnp.asarray(img)))
+    got = np.asarray(extractive.transform_with_matrix(
+        jnp.asarray(img), src.stain_matrix_target, src.max_c_target, params))
+    assert (got == want).all()
+
+
+def test_fixed_matrix_kernel_matches_functional():
+    """Fused ``normalize_with_matrix_planar`` (interpret) vs the functional
+    fixed-matrix transform."""
+    from stainlib_tpu.kernels.fused_stain import from_planar, to_planar
+    from stainlib_tpu.kernels.macenko_fused import normalize_with_matrix_planar
+
+    target = he_patch(32, 64, seed=20, stain=TGT_STAIN)
+    batch = he_batch(3, 32, 64, seed=21)
+    params = extractive.fit(jnp.asarray(target), method="macenko")
+    src = extractive.fit(jnp.asarray(batch[0]), method="macenko")
+    want = np.asarray(extractive.transform_with_matrix(
+        jnp.asarray(batch), src.stain_matrix_target, src.max_c_target,
+        params))
+    out = normalize_with_matrix_planar(
+        to_planar(jnp.asarray(batch)), src.stain_matrix_target,
+        src.max_c_target, params.stain_matrix_target, params.max_c_target,
+        interpret=True)
+    got = np.asarray(from_planar(out, 32, 64))
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert (diff <= 1).mean() > 0.995, (diff.max(), (diff > 1).mean())
+    assert diff.max() <= 3
+
+
+def _tissue_slide(tmp_path, h=520, w=600, seed=0):
+    """A lossless (deflate) synthetic tissue slide covering edge tiles."""
+    tiles = he_batch(9, 256, 256, seed=seed, background_frac=0.0)
+    lv0 = np.concatenate(
+        [np.concatenate(list(tiles[r * 3 : r * 3 + 3]), axis=1)
+         for r in range(3)], axis=0)[:h, :w]
+    lv0[:24] = 255  # a white margin band
+    path = str(tmp_path / "tissue.tif")
+    native.write_tiff_pyramid(path, [lv0], tile=128, compression="deflate")
+    return path, lv0
+
+
+@requires_native
+def test_fit_slide_recovers_stain_geometry(tmp_path):
+    path, _ = _tissue_slide(tmp_path)
+    p = fit_slide(path, method="macenko", n_tiles=8, seed=3)
+    assert p.stain_matrix.shape == (2, 3) and p.max_c.shape == (2,)
+    np.testing.assert_allclose(
+        np.linalg.norm(p.stain_matrix, axis=1), 1.0, atol=1e-5)
+    assert (p.max_c > 0).all()
+    # H (first row) has the larger red OD, the reference's ordering rule.
+    assert p.stain_matrix[0, 0] > p.stain_matrix[1, 0]
+
+
+@requires_native
+def test_normalize_slide_end_to_end_slide_mode(tmp_path):
+    path, lv0 = _tissue_slide(tmp_path)
+    out_path = str(tmp_path / "norm.tif")
+    target = he_patch(256, 256, seed=40, stain=TGT_STAIN,
+                      background_frac=0.0)
+    info = normalize_slide(path, out_path, target, method="macenko",
+                           estimation="slide", batch=4, n_fit_tiles=8,
+                           seed=3, compression="deflate")
+    assert info["tiles"] == 9 and info["estimation"] == "slide"
+
+    s = native.TiffSlide(out_path)
+    assert s.level_size(0) == (600, 520)
+    got = s.read_region(0, 0, 0, 600, 520)
+    s.close()
+    # White margin stays white (OD ~ 0 -> concentrations ~ 0 -> white).
+    assert got[:16].min() >= 250
+    # Tissue actually moved toward the target stain geometry.
+    assert np.abs(got[200:400, 100:500].astype(int)
+                  - lv0[200:400, 100:500].astype(int)).mean() > 2.0
+
+    # The written interior tile equals the fixed-matrix transform applied
+    # directly (canvas placement + prefetch order are lossless).
+    src = fit_slide(path, method="macenko", n_tiles=8, seed=3)
+    params = extractive.fit(jnp.asarray(target), method="macenko")
+    tile_in = lv0[256:512, 256:512]
+    want = np.asarray(extractive.transform_with_matrix(
+        jnp.asarray(tile_in[None]), src.stain_matrix, src.max_c, params))[0]
+    # Up to 1 uint8 step: the driver transforms batches of 4, whose XLA
+    # fusion rounds a handful of pixels differently than a 1-image call.
+    diff = np.abs(got[256:512, 256:512].astype(int) - want.astype(int))
+    assert diff.max() <= 1 and (diff == 0).mean() > 0.99, (
+        diff.max(), (diff == 0).mean())
+
+
+@requires_native
+def test_normalize_slide_tile_mode_matches_reference_semantics(tmp_path):
+    path, lv0 = _tissue_slide(tmp_path)
+    out_path = str(tmp_path / "norm_tile.tif")
+    target = he_patch(256, 256, seed=41, stain=TGT_STAIN,
+                      background_frac=0.0)
+    normalize_slide(path, out_path, target, method="macenko",
+                    estimation="tile", batch=4, compression="deflate")
+    s = native.TiffSlide(out_path)
+    got = s.read_region(0, 256, 256, 256, 256)
+    s.close()
+    params = extractive.fit(jnp.asarray(target), method="macenko")
+    want = np.asarray(extractive.transform(
+        params, jnp.asarray(lv0[256:512, 256:512][None])))[0]
+    # Tile mode re-estimates per tile; estimating inside a batch of 4 vs a
+    # 1-image call reassociates XLA reductions, moving a few pixels by up
+    # to ~4 uint8 steps (the repo's documented cross-shape tolerance).
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 4 and (diff == 0).mean() > 0.99, (
+        diff.max(), (diff == 0).mean())
+
+
+@requires_native
+def test_normalize_slide_reinhard(tmp_path):
+    path, lv0 = _tissue_slide(tmp_path)
+    out_path = str(tmp_path / "norm_r.tif")
+    target = he_patch(256, 256, seed=42, stain=TGT_STAIN,
+                      background_frac=0.0)
+    info = normalize_slide(path, out_path, target, method="reinhard",
+                           batch=4, n_fit_tiles=8, compression="deflate")
+    assert info["method"] == "reinhard"
+    s = native.TiffSlide(out_path)
+    got = s.read_region(0, 0, 0, 600, 520)
+    s.close()
+    assert got.shape == (520, 600, 3)
+    # The written tile equals the fixed-stats Reinhard transform applied
+    # directly: every tile shares ONE slide-level affine (no per-tile
+    # re-estimation), so adjacent tiles cannot disagree about color.
+    from stainlib_tpu.normalization import reinhard
+    from stainlib_tpu.normalization.slide import fit_slide_reinhard
+
+    src = fit_slide_reinhard(path, n_tiles=8, seed=0)
+    params = reinhard.fit(jnp.asarray(target))
+    want = np.asarray(reinhard.transform(
+        params, jnp.asarray(lv0[256:512, 256:512][None]),
+        source_stats=src.stats,
+        brightness_divisor=src.brightness_divisor))[0]
+    diff = np.abs(got[256:512, 256:512].astype(int) - want.astype(int))
+    assert diff.max() <= 4 and (diff == 0).mean() > 0.99, (
+        diff.max(), (diff == 0).mean())
+
+
+def test_build_pyramid_levels():
+    lv0 = (np.arange(1024 * 1024 * 3) % 255).astype(np.uint8).reshape(
+        1024, 1024, 3)
+    levels = build_pyramid(lv0, min_dim=128)
+    assert [l.shape[0] for l in levels] == [1024, 512, 256, 128]
+    # 2x box mean of the first block
+    want = lv0[:2, :2].astype(int).mean((0, 1))
+    np.testing.assert_allclose(levels[1][0, 0], np.round(want), atol=1.0)
