@@ -25,8 +25,8 @@ ITERS = int(sys.argv[sys.argv.index("--iters") + 1]) if "--iters" in sys.argv el
 # 'reinhard' (#1), 'augment' (#3), or 'streaming' (#5); plus the model
 # families: 'flow' (residual-flow+GMM train step) and 'dann' (adversarial
 # train step); plus r3 paths: 'large' (1024^2 functional with streaming
-# count-bisection percentiles) and 'pop' (fit-once/pop-many fused
-# StainAugmentor draws).
+# count-bisection percentiles), 'pop' (fit-once/pop-many fused
+# StainAugmentor draws), and 'slide' (whole-slide fixed-matrix apply).
 CONFIG = (sys.argv[sys.argv.index("--config") + 1]
           if "--config" in sys.argv else "macenko")
 
@@ -564,6 +564,55 @@ def bench_pop():
     }))
 
 
+def bench_slide():
+    """Whole-slide normalization apply: the fixed-matrix kernel
+    (``normalize_with_matrix_planar``) used by ``normalization/slide.py``
+    with estimation='slide' — one stain matrix per slide, per-tile lasso +
+    rescale + reconstruction with no percentile chains."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from stainlib_tpu.kernels import fused_stain
+    from stainlib_tpu.kernels.macenko_fused import normalize_with_matrix_planar
+    from stainlib_tpu.normalization import extractive
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    tiles = make_tiles(BATCH)
+    target = make_tiles(1, seed=99)[0]
+    params = jax.device_get(jax.jit(extractive.fit)(jnp.asarray(target)))
+    src = jax.device_get(jax.jit(extractive.fit)(jnp.asarray(tiles[0])))
+
+    def step(x):
+        return normalize_with_matrix_planar(
+            x, src.stain_matrix_target, src.max_c_target,
+            params.stain_matrix_target, params.max_c_target,
+            interpret=not on_tpu)
+
+    planar = jax.device_put(
+        np.asarray(fused_stain.to_planar(jnp.asarray(tiles))))
+    tps = chain_tps(jax, jax.jit(step), planar, [()] * (ITERS + 1), BATCH)
+
+    import time as _t
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        small = jax.device_put(jnp.asarray(tiles[:4]), cpu)
+        fn = jax.jit(lambda x: extractive.transform_with_matrix(
+            x, src.stain_matrix_target, src.max_c_target, params))
+        jax.block_until_ready(fn(small))
+        t0 = _t.perf_counter()
+        jax.block_until_ready(fn(small))
+        cpu_tps = 4 / (_t.perf_counter() - t0)
+    print(json.dumps({
+        "metric": f"slide_norm_apply_{TILE}x{TILE}_tiles_per_sec[fixed_matrix_fused]",
+        "value": round(tps, 2), "unit": "tiles/s",
+        "vs_baseline": round(tps / cpu_tps, 2),
+    }))
+
+
 def main():
     if CONFIG == "streaming":
         return bench_streaming()
@@ -579,6 +628,8 @@ def main():
         return bench_large()
     if CONFIG == "pop":
         return bench_pop()
+    if CONFIG == "slide":
+        return bench_slide()
     import jax
 
     # Remote TPU compiles are slow; persist them across runs.

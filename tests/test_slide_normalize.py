@@ -168,6 +168,24 @@ def test_normalize_slide_reinhard(tmp_path):
         diff.max(), (diff == 0).mean())
 
 
+@requires_native
+def test_normalize_slide_vahadane(tmp_path):
+    path, lv0 = _tissue_slide(tmp_path)
+    out_path = str(tmp_path / "norm_v.tif")
+    target = he_patch(256, 256, seed=43, stain=TGT_STAIN,
+                      background_frac=0.0)
+    info = normalize_slide(path, out_path, target, method="vahadane",
+                           estimation="slide", batch=4, n_fit_tiles=4,
+                           compression="deflate")
+    assert info["tiles"] == 9
+    s = native.TiffSlide(out_path)
+    got = s.read_region(0, 0, 0, 600, 520)
+    s.close()
+    assert got[:16].min() >= 250  # white margin preserved
+    assert np.abs(got[200:400, 100:500].astype(int)
+                  - lv0[200:400, 100:500].astype(int)).mean() > 2.0
+
+
 def test_build_pyramid_levels():
     lv0 = (np.arange(1024 * 1024 * 3) % 255).astype(np.uint8).reshape(
         1024, 1024, 3)
