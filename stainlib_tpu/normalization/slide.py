@@ -215,6 +215,45 @@ def build_pyramid(level0: np.ndarray, min_dim: int = 512):
     return levels
 
 
+def _stream_canvas(slide, level: int, tile: int, batch: int, W: int, H: int,
+                   apply_fn, progress, prefetch_depth: int,
+                   prefetch_workers: int):
+    """Stream the tile grid through ``apply_fn(dev_batch, batch_index)``
+    (threaded decode -> prefetch ring -> device) into an (H, W, 3) canvas."""
+    from stainlib_tpu.data.pipeline import DevicePrefetcher
+
+    coords = _grid_coords(W, H, tile)
+    n_batches = math.ceil(len(coords) / batch)
+    canvas = np.empty((H, W, 3), np.uint8)
+    read_regions = getattr(slide, "read_regions", None)
+
+    def host_batches():
+        for i in range(n_batches):
+            chunk = coords[i * batch : (i + 1) * batch]
+            xs = np.asarray(chunk, np.int64)
+            if read_regions is not None:  # threaded native batch decode
+                yield chunk, read_regions(level, xs, tile, tile)
+            else:  # WSIRAW mmap slides decode per region
+                yield chunk, np.stack([
+                    slide.read_region(level, int(x), int(y), tile, tile)
+                    for x, y in chunk])
+
+    pf = DevicePrefetcher(
+        host_batches(), depth=prefetch_depth,
+        transform=lambda cb: (np.asarray(cb[0], np.int64), cb[1]),
+        workers=prefetch_workers)
+    for bi, (chunk_xy, dev_batch) in enumerate(pf):
+        out = np.asarray(apply_fn(dev_batch, bi))
+        for (x, y), img in zip(np.asarray(chunk_xy), out):
+            x, y = int(x), int(y)
+            h_v = min(tile, H - y)
+            w_v = min(tile, W - x)
+            canvas[y : y + h_v, x : x + w_v] = img[:h_v, :w_v]
+        if progress is not None:
+            progress(bi + 1, n_batches)
+    return canvas, len(coords)
+
+
 def normalize_slide(
     src_path: str,
     out_path: str,
@@ -245,7 +284,6 @@ def normalize_slide(
     ``normalizer.py:45-48``).
     """
     from stainlib_tpu.data.native import write_tiff_pyramid
-    from stainlib_tpu.data.pipeline import DevicePrefetcher
     from stainlib_tpu.normalization import extractive, reinhard
 
     method = method.lower()
@@ -287,40 +325,10 @@ def normalize_slide(
         apply_fn = _make_apply(method, estimation, target_params, src,
                                tile, regularizer, interpret)
 
-        coords = _grid_coords(W, H, tile)
-        n_batches = math.ceil(len(coords) / batch)
-        canvas = np.empty((H, W, 3), np.uint8)
-
-        read_regions = getattr(slide, "read_regions", None)
-
-        def host_batches():
-            for i in range(n_batches):
-                chunk = coords[i * batch : (i + 1) * batch]
-                xs = np.asarray(chunk, np.int64)
-                if read_regions is not None:  # threaded native batch decode
-                    yield chunk, read_regions(level, xs, tile, tile)
-                else:  # WSIRAW mmap slides decode per region
-                    yield chunk, np.stack([
-                        slide.read_region(level, int(x), int(y), tile, tile)
-                        for x, y in chunk])
-
-        # The prefetcher overlaps threaded decode + host->device DMA with
-        # device compute (data/pipeline.py); coords pass through as-is.
-        pf = DevicePrefetcher(
-            host_batches(), depth=prefetch_depth,
-            transform=lambda cb: (np.asarray(cb[0], np.int64), cb[1]),
-            workers=prefetch_workers)
-        done = 0
-        for chunk_xy, dev_batch in pf:
-            out = np.asarray(apply_fn(dev_batch))
-            for (x, y), img in zip(np.asarray(chunk_xy), out):
-                x, y = int(x), int(y)
-                h_v = min(tile, H - y)
-                w_v = min(tile, W - x)
-                canvas[y : y + h_v, x : x + w_v] = img[:h_v, :w_v]
-            done += 1
-            if progress is not None:
-                progress(done, n_batches)
+        canvas, n_tiles = _stream_canvas(
+            slide, level, tile, batch, W, H,
+            lambda dev_batch, _bi: apply_fn(dev_batch), progress,
+            prefetch_depth, prefetch_workers)
 
         levels = build_pyramid(canvas, min_dim=min_pyramid)
         write_tiff_pyramid(out_path, levels, tile=tile,
@@ -328,11 +336,144 @@ def normalize_slide(
         return {
             "width": W,
             "height": H,
-            "tiles": len(coords),
+            "tiles": n_tiles,
             "levels": len(levels),
             "method": method,
             "estimation": "slide" if method == "reinhard" else estimation,
             "fused": interpret or _use_fused(tile),
+        }
+    finally:
+        slide.close()
+
+
+def flow_normalize_slide(
+    src_path: str,
+    out_path: str,
+    ckpt_dir: str,
+    template=None,
+    batch: int = 8,
+    level: int = 0,
+    n_src_tiles: int = 32,
+    seed: int = 0,
+    min_pyramid: int = 512,
+    compression: str = "jpeg",
+    quality: int = 90,
+    prefetch_depth: int = 3,
+    prefetch_workers: int = 2,
+    progress: Optional[Callable[[int, int], None]] = None,
+    cfg=None,
+) -> dict:
+    """Whole-slide color normalization with the trained residual-flow+GMM
+    at the reference's published capacity — the ``validate``/deploy loop of
+    ``train_img_horo.py:658-930`` (template stats -> per-class HSD
+    distribution transfer, ``:815``) applied to EVERY tile of a WSI, with
+    the output written back as a pyramidal TIFF.
+
+    ``ckpt_dir``: a ``utils/checkpoint.py`` directory holding the
+    ``reference_capacity()`` training state (502,855 params; see
+    ``scripts/train_flow_capacity.py``).
+    ``template``: (N, S, S, 3) uint8 template tiles, a template slide path
+    to sample from, or None for synthetic center 0 — the reference's
+    template loader (``:682-726``).
+
+    Deviation from the reference's deploy: source color statistics are
+    accumulated once over ``n_src_tiles`` sampled tiles of the WHOLE slide
+    (not per test batch, ``:803-812``), so every tile is recolored through
+    one slide-level map and the output has no batch-boundary seams.
+    """
+    import jax  # noqa: F401  (jitted closures below)
+
+    from stainlib_tpu.data.native import write_tiff_pyramid
+    from stainlib_tpu.models import color_eval
+    from stainlib_tpu.models.train_flow import (
+        encode, init_flow_state, reference_capacity)
+    from stainlib_tpu.models.validate_flow import (
+        accumulate_template_stats, finalize_template_stats)
+    from stainlib_tpu.ops.colorspace import rgb_to_hsd
+    from stainlib_tpu.utils.checkpoint import restore_checkpoint
+
+    if cfg is None:
+        cfg = reference_capacity()
+    tile = cfg.image_size
+    to_hsd = jax.jit(rgb_to_hsd)
+
+    # Template tiles -> HSD batches.
+    if template is None:
+        from stainlib_tpu.data.synthetic import center_tiles
+
+        template = center_tiles(0, max(batch * 4, 32), tile, tile,
+                                seed=seed + 100)
+    elif isinstance(template, (str, bytes)):
+        t_slide, _ = _open(template)
+        try:
+            tiles_np, _ = t_slide.sample_tiles(level, tile,
+                                               max(batch * 4, 32),
+                                               seed=seed + 100)
+        finally:
+            t_slide.close()
+        template = tiles_np
+    template = np.asarray(template)
+    tmpl_hsd = np.asarray(to_hsd(jnp.asarray(template)))
+
+    # Restore the capacity checkpoint.
+    flow, gmm, state, _ = init_flow_state(
+        cfg, jax.random.PRNGKey(seed), sample_hsd=tmpl_hsd[:batch])
+    state = restore_checkpoint(ckpt_dir, state)
+    params, spectral = state.params, state.spectral
+
+    key = jax.random.PRNGKey(seed + 1)
+    k_tmpl, k_src, key = jax.random.split(key, 3)
+    mu_t, sd_t = accumulate_template_stats(
+        flow, gmm, cfg, params, spectral,
+        [tmpl_hsd[i : i + batch] for i in range(0, len(tmpl_hsd), batch)],
+        k_tmpl)
+
+    slide, _ = _open(src_path)
+    try:
+        W, H = slide.level_size(level)
+
+        # Slide-level SOURCE statistics from sampled tissue tiles.
+        src_tiles, _ = slide.sample_tiles(level, tile, n_src_tiles,
+                                          seed=seed)
+        src_hsd = np.asarray(to_hsd(jnp.asarray(src_tiles)))
+        s_w, s_x, s_xx = None, None, None
+        enc = jax.jit(lambda hsd, k: encode(flow, gmm, params, spectral,
+                                            cfg, hsd, k))
+        for i in range(0, len(src_hsd), batch):
+            k_src, sub = jax.random.split(k_src)
+            _, _, gamma = enc(jnp.asarray(src_hsd[i : i + batch]), sub)
+            hs = jnp.asarray(src_hsd[i : i + batch])
+            w = jnp.sum(gamma, axis=(0, 1, 2))
+            x = jnp.einsum("bhwk,bhwc->kc", gamma, hs)
+            xx = jnp.einsum("bhwk,bhwc->kc", gamma, hs * hs)
+            s_w = w if s_w is None else s_w + w
+            s_x = x if s_x is None else s_x + x
+            s_xx = xx if s_xx is None else s_xx + xx
+        mu_s, sd_s = finalize_template_stats(s_w, s_x, s_xx)
+
+        @jax.jit
+        def recolor(batch_u8, k):
+            hsd = rgb_to_hsd(batch_u8)
+            _, _, gamma = encode(flow, gmm, params, spectral, cfg, hsd, k)
+            return color_eval.image_dist_transform(
+                hsd, gamma, mu_s, sd_s, mu_t, sd_t)
+
+        keys = jax.random.split(key, 16384)
+
+        canvas, n_tiles = _stream_canvas(
+            slide, level, tile, batch, W, H,
+            lambda dev_batch, bi: recolor(dev_batch, keys[bi]), progress,
+            prefetch_depth, prefetch_workers)
+
+        levels = build_pyramid(canvas, min_dim=min_pyramid)
+        write_tiff_pyramid(out_path, levels, tile=tile,
+                           compression=compression, quality=quality)
+        return {
+            "width": W, "height": H, "tiles": n_tiles,
+            "levels": len(levels), "method": "flow",
+            "params": int(sum(int(np.prod(np.shape(p)))
+                              for p in jax.tree.leaves(params))),
+            "step": int(state.step),
         }
     finally:
         slide.close()
