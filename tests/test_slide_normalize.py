@@ -186,6 +186,28 @@ def test_normalize_slide_vahadane(tmp_path):
                   - lv0[200:400, 100:500].astype(int)).mean() > 2.0
 
 
+@requires_native
+def test_normalize_slide_wsiraw_input(tmp_path):
+    """WSIRAW (mmap) slides lack the batched read_regions entry point; the
+    driver's per-region fallback must still produce a correct slide."""
+    path_raw = str(tmp_path / "t.wsiraw")
+    tiles = he_batch(4, 256, 256, seed=9, background_frac=0.0)
+    lv0 = np.concatenate(
+        [np.concatenate(list(tiles[:2]), axis=1),
+         np.concatenate(list(tiles[2:]), axis=1)], axis=0)
+    native.write_wsiraw(path_raw, [lv0])
+    out_path = str(tmp_path / "out.tif")
+    target = he_patch(256, 256, seed=44, stain=TGT_STAIN,
+                      background_frac=0.0)
+    info = normalize_slide(path_raw, out_path, target, batch=4,
+                           n_fit_tiles=4, compression="deflate")
+    assert info["tiles"] == 4
+    s = native.TiffSlide(out_path)
+    got = s.read_region(0, 0, 0, 512, 512)
+    s.close()
+    assert np.abs(got.astype(int) - lv0.astype(int)).mean() > 2.0
+
+
 def test_build_pyramid_levels():
     lv0 = (np.arange(1024 * 1024 * 3) % 255).astype(np.uint8).reshape(
         1024, 1024, 3)
