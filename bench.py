@@ -551,12 +551,16 @@ def bench_pop():
     params = F.stain_augment_fit(jnp.asarray(make_tiles(4)),
                                  method="macenko")
     jax.block_until_ready(params)
-    t0 = _t.perf_counter()
     with jax.default_device(jax.devices("cpu")[0]):
-        out = F.stain_augment_pop(jax.device_put(
-            params, jax.devices("cpu")[0]), jax.random.PRNGKey(0))
+        cpu_params = jax.device_put(params, jax.devices("cpu")[0])
+        # Warm (trace + compile + transfer) before timing, same protocol
+        # as bench_slide — else the baseline is charged the compile.
+        jax.block_until_ready(
+            F.stain_augment_pop(cpu_params, jax.random.PRNGKey(0)))
+        t0 = _t.perf_counter()
+        out = F.stain_augment_pop(cpu_params, jax.random.PRNGKey(1))
         jax.block_until_ready(out)
-    cpu_tps = 4 / (_t.perf_counter() - t0)
+        cpu_tps = 4 / (_t.perf_counter() - t0)
     print(json.dumps({
         "metric": f"stain_augment_pop_{TILE}x{TILE}_tiles_per_sec[fit_once_fused]",
         "value": round(tps, 2), "unit": "tiles/s",

@@ -41,6 +41,11 @@ def main(argv=None) -> int:
     ap.add_argument("--compression", default="jpeg",
                     choices=["none", "lzw", "jpeg", "deflate"])
     ap.add_argument("--quality", type=int, default=90)
+    ap.add_argument("--raw-weights", action="store_true",
+                    help="deploy with the raw (non-EMA) parameters; the "
+                         "default is the reference's --ema-val swap "
+                         "(train_img_horo.py:668-669), which transfers "
+                         "measurably better at converged checkpoints")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -67,7 +72,7 @@ def main(argv=None) -> int:
         args.src, args.out, args.ckpt, template=args.template,
         batch=args.batch, level=args.level, n_src_tiles=args.src_tiles,
         seed=args.seed, compression=args.compression, quality=args.quality,
-        progress=progress)
+        progress=progress, use_ema=not args.raw_weights)
     dt = time.time() - t0
     print(f"{info['width']}x{info['height']} ({info['tiles']} tiles, "
           f"{info['levels']} levels) -> {args.out}")

@@ -28,12 +28,34 @@ from __future__ import annotations
 
 import functools
 import math
+import os
+import tempfile
 from typing import Callable, NamedTuple, Optional, Union
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+# Above this many bytes a canvas/pyramid level is backed by a disk memmap
+# instead of host RAM: the reference's ``tester`` deployment iterates 100k+
+# tiles per slide (``data_utils.py:1``), i.e. level-0 canvases of tens of
+# GB that must not be required to fit in memory.
+_RAM_CANVAS_BYTES = 1 << 30
+
+
+def _alloc_u8(shape):
+    """uint8 array of ``shape``: plain RAM below ``_RAM_CANVAS_BYTES``, an
+    anonymous disk-backed memmap above (the file is unlinked immediately;
+    space is reclaimed when the array is garbage collected)."""
+    nbytes = int(np.prod(shape))
+    if nbytes <= _RAM_CANVAS_BYTES:
+        return np.empty(shape, np.uint8)
+    f = tempfile.NamedTemporaryFile(prefix="stainlib_canvas_", delete=False)
+    f.close()
+    arr = np.memmap(f.name, dtype=np.uint8, mode="w+", shape=shape)
+    os.unlink(f.name)
+    return arr
 
 
 class SlideStainParams(NamedTuple):
@@ -137,7 +159,9 @@ def _use_fused(tile: int) -> bool:
 
 def _make_apply(method: str, estimation: str, target_params, src,
                 tile: int, regularizer: float, interpret: bool):
-    """Returns jitted (B, t, t, 3) uint8 -> (B, t, t, 3) uint8."""
+    """Returns (jitted (B, t, t, 3) uint8 -> (B, t, t, 3) uint8,
+    fused: bool) — ``fused`` reports whether the branch actually taken
+    runs a Pallas kernel (so callers surface a truthful signal)."""
     from stainlib_tpu.normalization import extractive, reinhard
 
     fused = interpret or _use_fused(tile)
@@ -145,12 +169,36 @@ def _make_apply(method: str, estimation: str, target_params, src,
     # deplanarize included): eager glue pays per-op round-trip latency on
     # remote-dispatch setups.
     if method == "reinhard":
+        if estimation == "slide":
+            # Slide-level source stats: a pure per-pixel affine; the jitted
+            # functional path is already one fused XLA program (no
+            # percentile work remains for a Pallas kernel to win on).
+            @jax.jit
+            def apply_fn(batch):
+                return reinhard.transform(
+                    target_params, batch, source_stats=src.stats,
+                    brightness_divisor=src.brightness_divisor)
+            return apply_fn, False
+
+        # estimation == 'tile': the reference's per-image source stats
+        # (``normalizer.py:70-83``) — fused kernel where available.
+        if fused:
+            from stainlib_tpu.kernels.fused_stain import from_planar, to_planar
+            from stainlib_tpu.kernels.reinhard_fused import (
+                reinhard_normalize_planar)
+
+            @jax.jit
+            def apply_fn(batch):
+                out = reinhard_normalize_planar(
+                    to_planar(batch), target_params.means,
+                    target_params.stds, interpret=interpret)
+                return from_planar(out, tile, tile)
+            return apply_fn, True
+
         @jax.jit
         def apply_fn(batch):
-            return reinhard.transform(
-                target_params, batch, source_stats=src.stats,
-                brightness_divisor=src.brightness_divisor)
-        return apply_fn
+            return reinhard.transform(target_params, batch)
+        return apply_fn, False
     if estimation == "slide":
         if fused:
             from stainlib_tpu.kernels.fused_stain import from_planar, to_planar
@@ -166,14 +214,14 @@ def _make_apply(method: str, estimation: str, target_params, src,
                     target_params.max_c_target,
                     regularizer=regularizer, interpret=interpret)
                 return from_planar(out, tile, tile)
-            return apply_fn
+            return apply_fn, True
 
         @jax.jit
         def apply_fn(batch):
             return extractive.transform_with_matrix(
                 batch, src.stain_matrix, src.max_c,
                 target_params, regularizer=regularizer)
-        return apply_fn
+        return apply_fn, False
 
     # estimation == 'tile': the reference's exact per-patch semantics.
     if fused:
@@ -191,27 +239,35 @@ def _make_apply(method: str, estimation: str, target_params, src,
                        target_params.stain_matrix_target,
                        target_params.max_c_target, interpret=interpret)
             return from_planar(out, tile, tile)
-        return apply_fn
+        return apply_fn, True
 
     @jax.jit
     def apply_fn(batch):
         return extractive.transform(target_params, batch, method=method,
                                     regularizer=regularizer)
-    return apply_fn
+    return apply_fn, False
 
 
 def build_pyramid(level0: np.ndarray, min_dim: int = 512):
     """2x box-mean reduced-resolution levels down to ``min_dim`` (the .svs
     layout the native writer emits; odd trailing rows/cols are cropped,
-    matching how scanners truncate)."""
+    matching how scanners truncate). Each level is reduced in row chunks
+    (~64 MB of intermediate at a time) and lands in RAM or a disk memmap
+    via :func:`_alloc_u8`, so reference-scale slides (tens of GB at level
+    0) never need a full-level uint16 temporary in memory."""
     levels = [level0]
     cur = level0
     while min(cur.shape[0] // 2, cur.shape[1] // 2) >= min_dim:
         h2, w2 = cur.shape[0] // 2, cur.shape[1] // 2
-        c = cur[: 2 * h2, : 2 * w2].astype(np.uint16)
-        cur = ((c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2]
-                + c[1::2, 1::2] + 2) // 4).astype(np.uint8)
-        levels.append(cur)
+        nxt = _alloc_u8((h2, w2, 3))
+        step = max(1, (64 << 20) // max(w2 * 12, 1))  # rows per chunk
+        for r0 in range(0, h2, step):
+            r1 = min(r0 + step, h2)
+            c = cur[2 * r0 : 2 * r1, : 2 * w2].astype(np.uint16)
+            nxt[r0:r1] = ((c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2]
+                           + c[1::2, 1::2] + 2) // 4).astype(np.uint8)
+        levels.append(nxt)
+        cur = nxt
     return levels
 
 
@@ -224,28 +280,31 @@ def _stream_canvas(slide, level: int, tile: int, batch: int, W: int, H: int,
 
     coords = _grid_coords(W, H, tile)
     n_batches = math.ceil(len(coords) / batch)
-    canvas = np.empty((H, W, 3), np.uint8)
+    canvas = _alloc_u8((H, W, 3))
     read_regions = getattr(slide, "read_regions", None)
+    # Coordinates stay host-side (the device never needs them; shipping
+    # them through the prefetcher costs a device round-trip per batch on
+    # remote-dispatch setups). The trailing partial batch is padded by
+    # repeating its last coordinate so every dispatch shares ONE jitted
+    # shape (no second compile); the writer crops via the unpadded chunk.
+    chunks = [coords[i * batch : (i + 1) * batch] for i in range(n_batches)]
 
     def host_batches():
-        for i in range(n_batches):
-            chunk = coords[i * batch : (i + 1) * batch]
-            xs = np.asarray(chunk, np.int64)
+        for chunk in chunks:
+            padded = chunk + [chunk[-1]] * (batch - len(chunk))
             if read_regions is not None:  # threaded native batch decode
-                yield chunk, read_regions(level, xs, tile, tile)
+                yield read_regions(level, np.asarray(padded, np.int64),
+                                   tile, tile)
             else:  # WSIRAW mmap slides decode per region
-                yield chunk, np.stack([
+                yield np.stack([
                     slide.read_region(level, int(x), int(y), tile, tile)
-                    for x, y in chunk])
+                    for x, y in padded])
 
-    pf = DevicePrefetcher(
-        host_batches(), depth=prefetch_depth,
-        transform=lambda cb: (np.asarray(cb[0], np.int64), cb[1]),
-        workers=prefetch_workers)
-    for bi, (chunk_xy, dev_batch) in enumerate(pf):
+    pf = DevicePrefetcher(host_batches(), depth=prefetch_depth,
+                          workers=prefetch_workers)
+    for bi, dev_batch in enumerate(pf):
         out = np.asarray(apply_fn(dev_batch, bi))
-        for (x, y), img in zip(np.asarray(chunk_xy), out):
-            x, y = int(x), int(y)
+        for (x, y), img in zip(chunks[bi], out):
             h_v = min(tile, H - y)
             w_v = min(tile, W - x)
             canvas[y : y + h_v, x : x + w_v] = img[:h_v, :w_v]
@@ -314,16 +373,17 @@ def normalize_slide(
 
         # Slide-level source estimation.
         src = None
-        if method == "reinhard":
-            src = fit_slide_reinhard(slide, level=level, tile=tile,
-                                     n_tiles=n_fit_tiles, seed=seed)
-        elif estimation == "slide":
-            src = fit_slide(slide, method=method, level=level, tile=tile,
-                            n_tiles=n_fit_tiles, seed=seed,
-                            regularizer=regularizer)
+        if estimation == "slide":
+            if method == "reinhard":
+                src = fit_slide_reinhard(slide, level=level, tile=tile,
+                                         n_tiles=n_fit_tiles, seed=seed)
+            else:
+                src = fit_slide(slide, method=method, level=level, tile=tile,
+                                n_tiles=n_fit_tiles, seed=seed,
+                                regularizer=regularizer)
 
-        apply_fn = _make_apply(method, estimation, target_params, src,
-                               tile, regularizer, interpret)
+        apply_fn, fused = _make_apply(method, estimation, target_params, src,
+                                      tile, regularizer, interpret)
 
         canvas, n_tiles = _stream_canvas(
             slide, level, tile, batch, W, H,
@@ -339,8 +399,8 @@ def normalize_slide(
             "tiles": n_tiles,
             "levels": len(levels),
             "method": method,
-            "estimation": "slide" if method == "reinhard" else estimation,
-            "fused": interpret or _use_fused(tile),
+            "estimation": estimation,
+            "fused": fused,
         }
     finally:
         slide.close()
@@ -362,6 +422,7 @@ def flow_normalize_slide(
     prefetch_workers: int = 2,
     progress: Optional[Callable[[int, int], None]] = None,
     cfg=None,
+    use_ema: bool = True,
 ) -> dict:
     """Whole-slide color normalization with the trained residual-flow+GMM
     at the reference's published capacity — the ``validate``/deploy loop of
@@ -387,8 +448,7 @@ def flow_normalize_slide(
     from stainlib_tpu.models import color_eval
     from stainlib_tpu.models.train_flow import (
         encode, init_flow_state, reference_capacity)
-    from stainlib_tpu.models.validate_flow import (
-        accumulate_template_stats, finalize_template_stats)
+    from stainlib_tpu.models.validate_flow import accumulate_template_stats
     from stainlib_tpu.ops.colorspace import rgb_to_hsd
     from stainlib_tpu.utils.checkpoint import restore_checkpoint
 
@@ -419,7 +479,12 @@ def flow_normalize_slide(
     flow, gmm, state, _ = init_flow_state(
         cfg, jax.random.PRNGKey(seed), sample_hsd=tmpl_hsd[:batch])
     state = restore_checkpoint(ckpt_dir, state)
-    params, spectral = state.params, state.spectral
+    # Deploy with the EMA weights by default — the reference's validation
+    # swap (``--ema-val``, ``train_img_horo.py:668-669``). Measured r3: at
+    # the converged 1000-step capacity checkpoint the EMA weights transfer
+    # at NMI sd 0.0583 vs 0.0753 for the raw weights (BASELINE.md).
+    params = state.ema.params if use_ema else state.params
+    spectral = state.spectral
 
     key = jax.random.PRNGKey(seed + 1)
     k_tmpl, k_src, key = jax.random.split(key, 3)
@@ -432,38 +497,36 @@ def flow_normalize_slide(
     try:
         W, H = slide.level_size(level)
 
-        # Slide-level SOURCE statistics from sampled tissue tiles.
-        src_tiles, _ = slide.sample_tiles(level, tile, n_src_tiles,
-                                          seed=seed)
+        # Slide-level SOURCE statistics from sampled tissue tiles. Slots
+        # whose rejection sampling failed come back as gray filler with
+        # coords (-1, -1) (``data/wsi.py``); keep tissue tiles only, same
+        # guard as ``_sample_mosaic``.
+        src_tiles, src_xy = slide.sample_tiles(level, tile, n_src_tiles,
+                                               seed=seed)
+        kept = src_tiles[src_xy[:, 0] >= 0]
+        if len(kept):
+            src_tiles = kept
         src_hsd = np.asarray(to_hsd(jnp.asarray(src_tiles)))
-        s_w, s_x, s_xx = None, None, None
-        enc = jax.jit(lambda hsd, k: encode(flow, gmm, params, spectral,
-                                            cfg, hsd, k))
-        for i in range(0, len(src_hsd), batch):
-            k_src, sub = jax.random.split(k_src)
-            _, _, gamma = enc(jnp.asarray(src_hsd[i : i + batch]), sub)
-            hs = jnp.asarray(src_hsd[i : i + batch])
-            w = jnp.sum(gamma, axis=(0, 1, 2))
-            x = jnp.einsum("bhwk,bhwc->kc", gamma, hs)
-            xx = jnp.einsum("bhwk,bhwc->kc", gamma, hs * hs)
-            s_w = w if s_w is None else s_w + w
-            s_x = x if s_x is None else s_x + x
-            s_xx = xx if s_xx is None else s_xx + xx
-        mu_s, sd_s = finalize_template_stats(s_w, s_x, s_xx)
+        mu_s, sd_s = accumulate_template_stats(
+            flow, gmm, cfg, params, spectral,
+            [src_hsd[i : i + batch] for i in range(0, len(src_hsd), batch)],
+            k_src)
 
         @jax.jit
-        def recolor(batch_u8, k):
+        def recolor(batch_u8, bi):
+            # Per-batch PRNG derived in-graph: no pre-split key table to
+            # outgrow (a real 40x WSI exceeds 100k batches), no per-batch
+            # host dispatch.
+            k = jax.random.fold_in(key, bi)
             hsd = rgb_to_hsd(batch_u8)
             _, _, gamma = encode(flow, gmm, params, spectral, cfg, hsd, k)
             return color_eval.image_dist_transform(
                 hsd, gamma, mu_s, sd_s, mu_t, sd_t)
 
-        keys = jax.random.split(key, 16384)
-
         canvas, n_tiles = _stream_canvas(
             slide, level, tile, batch, W, H,
-            lambda dev_batch, bi: recolor(dev_batch, keys[bi]), progress,
-            prefetch_depth, prefetch_workers)
+            lambda dev_batch, bi: recolor(dev_batch, np.uint32(bi)),
+            progress, prefetch_depth, prefetch_workers)
 
         levels = build_pyramid(canvas, min_dim=min_pyramid)
         write_tiff_pyramid(out_path, levels, tile=tile,
@@ -474,6 +537,7 @@ def flow_normalize_slide(
             "params": int(sum(int(np.prod(np.shape(p)))
                               for p in jax.tree.leaves(params))),
             "step": int(state.step),
+            "ema": use_ema,
         }
     finally:
         slide.close()

@@ -72,11 +72,18 @@ def _percentile_bisect(values, mask, q, n_iters=_BISECT_ITERS):
 
 def percentile(x, q, axis=None):
     """``np.percentile`` equivalent (linear interpolation). Large reduction
-    axes route through streaming count-bisection instead of a sort."""
+    axes route through streaming count-bisection instead of a sort; a
+    sequence ``q`` stacks one bisection per entry along a leading axis
+    (``jnp.percentile``'s q-leading convention)."""
     x = jnp.asarray(x, jnp.float32)
     if (axis is not None and isinstance(axis, int)
             and x.shape[axis] > _BISECT_THRESHOLD):
-        return _percentile_bisect(jnp.moveaxis(x, axis, -1), None, q)
+        xm = jnp.moveaxis(x, axis, -1)
+        qa = jnp.asarray(q, jnp.float32)
+        if qa.ndim == 0:
+            return _percentile_bisect(xm, None, qa)
+        return jnp.stack(
+            [_percentile_bisect(xm, None, qi) for qi in qa])
     return jnp.percentile(x, q, axis=axis)
 
 

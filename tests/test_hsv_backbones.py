@@ -1,5 +1,6 @@
 """HSV jitter + DANN variant backbones."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,6 +47,7 @@ def test_dann_gap_variant():
     assert mit.shape == (2, 2) and dom.shape == (2, 4)
 
 
+@pytest.mark.slow
 def test_mobilenet_dann_224():
     model = MobileNetDann(n_domains=5, alpha=0.5)
     x = jnp.zeros((1, 224, 224, 3), jnp.float32)

@@ -1,5 +1,6 @@
 """Fused Reinhard kernel vs the functional quantized path."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -8,6 +9,7 @@ from stainlib_tpu.normalization import reinhard
 from tests.synth import he_batch, he_patch
 
 
+@pytest.mark.slow
 def test_reinhard_fused_matches_functional():
     target = he_patch(32, 64, seed=110)
     batch = he_batch(3, 32, 64, seed=111)

@@ -69,6 +69,7 @@ def test_spectral_norm_constrains_operator():
     assert gain <= 0.95, gain
 
 
+@pytest.mark.slow
 def test_iresblock_invertible_and_logdet_accurate():
     block = IResBlock(hidden=8, coeff=0.7, n_power_series=24, n_probes=128,
                       input_shape=(4, 4, 1))

@@ -55,6 +55,7 @@ def test_checkpoint_round_trip(tmp_path):
     np.testing.assert_allclose(np.asarray(restored["a"]), [0, 1, 2])
 
 
+@pytest.mark.slow
 def test_flow_training_reduces_bpd():
     batch = _hsd_batch(8, seed=1)
     flow, gmm, state, tx = init_flow_state(CFG, KEY, sample_hsd=batch)
@@ -105,6 +106,7 @@ def test_encode_and_template_transfer_pipeline():
     assert diff.max() <= 1
 
 
+@pytest.mark.slow
 def test_multiscale_flow_trains_and_encodes():
     """Regression: n_scales=2 squeezes the latent grid below the image grid;
     the GMM must pool its conditioning and encode() must upsample gamma."""
@@ -123,6 +125,7 @@ def test_multiscale_flow_trains_and_encodes():
     assert mu.shape == (3, 3)
 
 
+@pytest.mark.slow
 def test_remat_matches_plain():
     cfg_r = FlowConfig(image_size=16, n_scales=1, blocks_per_scale=1,
                        hidden=8, n_power_series=2, n_clusters=3, lr=1e-3,
@@ -156,6 +159,7 @@ def test_nmi_metrics():
     np.testing.assert_allclose(cv, sd / 0.9, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_kernel_sizes_and_remat_logdet_step():
     # The reference-capacity knobs (3-1-3 bottleneck kernels + per-term
     # logdet remat) at toy scale: one step runs, loss finite, and the

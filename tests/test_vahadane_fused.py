@@ -1,5 +1,6 @@
 """Fused Vahadane kernel vs the functional dictionary learner."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -24,6 +25,7 @@ def test_fused_vahadane_matrix_matches_functional():
     np.testing.assert_allclose(np.linalg.norm(got, axis=-1), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_vahadane_normalize_end_to_end():
     target = he_patch(32, 64, seed=96)
     batch = he_batch(2, 32, 64, seed=97)
@@ -47,6 +49,7 @@ def test_fused_vahadane_empty_mask_nan():
     assert np.isnan(M).all()
 
 
+@pytest.mark.slow
 def test_fused_vahadane_augment_matches_functional():
     """Fused Vahadane StainAugmentor (dict kernel + shared augment-apply
     kernel) vs the functional fit+pop with identical per-image draws."""
