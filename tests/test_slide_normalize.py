@@ -216,3 +216,54 @@ def test_build_pyramid_levels():
     # 2x box mean of the first block
     want = lv0[:2, :2].astype(int).mean((0, 1))
     np.testing.assert_allclose(levels[1][0, 0], np.round(want), atol=1.0)
+
+
+def test_build_pyramid_chunked_matches_unchunked():
+    """The row-chunked reduction (memmap-friendly) must equal the one-shot
+    box mean, including odd-dimension cropping."""
+    rng = np.random.default_rng(5)
+    lv0 = rng.integers(0, 256, (257, 515, 3), np.uint8)
+    got = build_pyramid(lv0, min_dim=64)
+    h2, w2 = 128, 257
+    c = lv0[: 2 * h2, : 2 * w2].astype(np.uint16)
+    want = ((c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2]
+             + c[1::2, 1::2] + 2) // 4).astype(np.uint8)
+    assert (got[1] == want).all()
+
+
+@requires_native
+def test_normalize_slide_memmap_canvas_identical(tmp_path, monkeypatch):
+    """Forcing the disk-backed canvas/pyramid path (tiny RAM threshold)
+    and a batch that does not divide the tile count (padding path) must
+    produce a byte-identical slide to the default in-RAM run."""
+    from stainlib_tpu.normalization import slide as slide_mod
+
+    path, _ = _tissue_slide(tmp_path)
+    target = he_patch(256, 256, seed=44, stain=TGT_STAIN,
+                      background_frac=0.0)
+    out_a = str(tmp_path / "ram.tif")
+    normalize_slide(path, out_a, target, method="macenko", batch=4,
+                    n_fit_tiles=8, seed=3, compression="deflate")
+    monkeypatch.setattr(slide_mod, "_RAM_CANVAS_BYTES", 1 << 10)
+    out_b = str(tmp_path / "mmap.tif")
+    normalize_slide(path, out_b, target, method="macenko", batch=4,
+                    n_fit_tiles=8, seed=3, compression="deflate")
+    sa, sb = native.TiffSlide(out_a), native.TiffSlide(out_b)
+    a = sa.read_region(0, 0, 0, 600, 520)
+    b = sb.read_region(0, 0, 0, 600, 520)
+    sa.close(), sb.close()
+    assert (a == b).all()
+
+
+def test_percentile_sequence_q_bisect_route():
+    """Sequence q above the bisection threshold: q-leading stacking, same
+    values as the sort route computes on smaller data."""
+    from stainlib_tpu.ops.percentile import percentile
+
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((2, 600_000)).astype(np.float32)
+    got = np.asarray(percentile(x, [1.0, 50.0, 99.0], axis=-1))
+    want = np.stack([np.percentile(x, q, axis=-1)
+                     for q in (1.0, 50.0, 99.0)])
+    assert got.shape == (3, 2)
+    np.testing.assert_allclose(got, want, atol=2e-3)
