@@ -265,6 +265,10 @@ int tf_num_levels(void* handle) {
 
 void tf_level_size(void* handle, int level, uint32_t* w, uint32_t* h) {
   auto* s = static_cast<Slide*>(handle);
+  if (!s || level < 0 || level >= static_cast<int>(s->levels.size())) {
+    *w = *h = 0;  // callers validate against tf_num_levels
+    return;
+  }
   *w = s->levels[level].width;
   *h = s->levels[level].height;
 }

@@ -128,14 +128,19 @@ void* tr_open(const char* path) {
   s->size = st.st_size;
   s->n_levels = n_levels;
   uint64_t off = 8 + 16ull * n_levels;
+  bool bad = false;
   for (uint32_t i = 0; i < n_levels; ++i) {
     uint32_t w, h;
     std::memcpy(&w, base + 8 + 16ull * i, 4);
     std::memcpy(&h, base + 8 + 16ull * i + 4, 4);
+    // Reject degenerate/overflowing geometry: with w,h <= 2^24 the plane
+    // size 3*w*h <= 3*2^48 cannot wrap uint64, so the file-size check
+    // below stays sound even for corrupt headers.
+    if (w == 0 || h == 0 || w > (1u << 24) || h > (1u << 24)) bad = true;
     s->levels[i] = {off, w, h};
     off += 3ull * w * h;
   }
-  if (off > static_cast<uint64_t>(st.st_size)) {
+  if (bad || off > static_cast<uint64_t>(st.st_size)) {
     munmap(mem, st.st_size);
     ::close(fd);
     delete s;
@@ -158,6 +163,10 @@ int tr_num_levels(void* handle) {
 
 void tr_level_size(void* handle, int level, uint32_t* w, uint32_t* h) {
   auto* s = static_cast<Slide*>(handle);
+  if (!s || level < 0 || level >= static_cast<int>(s->n_levels)) {
+    *w = *h = 0;  // callers validate against tr_num_levels
+    return;
+  }
   *w = s->levels[level].width;
   *h = s->levels[level].height;
 }
@@ -210,10 +219,11 @@ int tr_sample_tiles(void* handle, int level, int tile, int n, uint64_t seed,
                     uint8_t* out, int64_t* coords) {
   auto* s = static_cast<Slide*>(handle);
   if (!s) return -1;
+  if (level < 0 || level >= static_cast<int>(s->n_levels)) return -2;
   const Level& lv = s->levels[level];
   if (lv.width < static_cast<uint32_t>(tile) ||
       lv.height < static_cast<uint32_t>(tile))
-    return 0;
+    return 0;  // callers pre-fill out/coords with the gray/(-1,-1) contract
   std::atomic<int> accepted(0);
   parallel_for(n, [&](int64_t i) {
     Rng rng(seed * 0x9E3779B1u + i * 0x85EBCA77u + 1);
@@ -249,7 +259,18 @@ int tr_sample_tiles(void* handle, int level, int tile, int n, uint64_t seed,
         if (mean > white_mean_max) continue;
         if (var < stddev_min * stddev_min) continue;
       }
-      tr_read_region(handle, level, x, y, tile, tile, buf);
+      // Serial in-bounds row copy: this already runs inside a
+      // parallel_for worker, and tr_read_region would spawn a second
+      // thread pool per candidate (quadratic oversubscription on
+      // many-core hosts). x/y are clamped to the level, so no
+      // white-fill handling is needed.
+      {
+        const uint8_t* plane = s->base + lv.offset;
+        for (int64_t r = 0; r < tile; ++r)
+          std::memcpy(buf + r * int64_t(tile) * 3,
+                      plane + ((y + r) * int64_t(lv.width) + x) * 3,
+                      size_t(tile) * 3);
+      }
       // Exact stats on the (now cache-hot) copied tile: the subsample is a
       // pre-filter; acceptance always satisfies the exact thresholds.
       {
@@ -284,19 +305,24 @@ int tr_sample_tiles(void* handle, int level, int tile, int n, uint64_t seed,
 namespace {
 
 // OpenCV-convention HSV from RGB bytes: H in [0,180), S,V in [0,255].
+// Divisions round to nearest (OpenCV's fixed-point tables round too), so
+// the native mask agrees with the cv2 fallback at threshold boundaries.
 inline void rgb_to_hsv(uint8_t r, uint8_t g, uint8_t b, uint8_t* h,
                        uint8_t* sat, uint8_t* val) {
   int mx = std::max({r, g, b}), mn = std::min({r, g, b});
   int v = mx, delta = mx - mn;
-  int sv = mx == 0 ? 0 : (255 * delta) / mx;
+  int sv = mx == 0 ? 0 : (255 * delta + mx / 2) / mx;
   int hh = 0;
   if (delta != 0) {
+    auto rdiv = [&](int num) {  // round-to-nearest, correct for num < 0
+      return num >= 0 ? (num + delta / 2) / delta : -((-num + delta / 2) / delta);
+    };
     if (mx == r)
-      hh = (30 * (g - b)) / delta;
+      hh = rdiv(30 * (g - b));
     else if (mx == g)
-      hh = 60 + (30 * (b - r)) / delta;
+      hh = 60 + rdiv(30 * (b - r));
     else
-      hh = 120 + (30 * (r - g)) / delta;
+      hh = 120 + rdiv(30 * (r - g));
     if (hh < 0) hh += 180;
   }
   *h = static_cast<uint8_t>(hh);

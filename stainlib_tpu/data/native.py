@@ -52,7 +52,7 @@ def build_native(force: bool = False) -> Optional[str]:
 
 def get_lib() -> Optional[ctypes.CDLL]:
     """Load (building if necessary) the native library; None if unavailable."""
-    global _lib
+    global _lib, _build_failed
     with _lock:
         if _lib is not None:
             return _lib
@@ -61,7 +61,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         path = build_native()
         if path is None:
             return None
-        lib = ctypes.CDLL(path)
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            # A present-but-unloadable .so (foreign arch/glibc): degrade to
+            # the numpy fallbacks instead of raising from every entry point.
+            _build_failed = True
+            return None
         lib.tr_open.restype = ctypes.c_void_p
         lib.tr_open.argtypes = [ctypes.c_char_p]
         lib.tr_close.argtypes = [ctypes.c_void_p]
@@ -195,24 +201,36 @@ def write_wsiraw(path: str, levels) -> None:
             f.write(np.ascontiguousarray(lv).tobytes())
 
 
-class RawSlide:
-    """Handle over a WSIRAW pyramid, native-backed with numpy fallback.
+class _SlideBase:
+    """Shared native-with-numpy-fallback slide handle: level geometry,
+    white-filled ``read_region``, and rejection ``sample_tiles`` (the
+    trainer-mode rules of ``data_utils.py:1``). Subclasses set the C-ABI
+    prefix (``tr_``/``tf_``) and provide the fallback level loader."""
 
-    API mirrors what the WSI sampler needs from OpenSlide/pyvips
-    (``read_region`` / level geometry; ``data_utils.py:1``).
-    """
+    _PREFIX = ""
 
     def __init__(self, path: str):
         self.path = path
-        self._lib = get_lib()
+        self._lib = self._get_lib()
         self._handle = None
         self._np_levels = None
         if self._lib is not None:
-            self._handle = self._lib.tr_open(path.encode())
+            self._handle = self._fn("open")(path.encode())
         if not self._handle:
             self._lib = None
-            self._np_levels = _read_wsiraw_numpy(path)
+            self._np_levels = self._load_fallback(path)
 
+    # -- subclass hooks -----------------------------------------------------
+    def _get_lib(self):
+        raise NotImplementedError
+
+    def _load_fallback(self, path: str):
+        raise NotImplementedError
+
+    def _fn(self, name: str):
+        return getattr(self._lib, self._PREFIX + name)
+
+    # -- shared API ----------------------------------------------------------
     @property
     def native(self) -> bool:
         return self._handle is not None
@@ -220,29 +238,40 @@ class RawSlide:
     @property
     def num_levels(self) -> int:
         if self.native:
-            return self._lib.tr_num_levels(self._handle)
+            return self._fn("num_levels")(self._handle)
         return len(self._np_levels)
+
+    def _check_level(self, level: int):
+        n = self.num_levels
+        if not 0 <= level < n:
+            raise IndexError(f"level {level} out of range for "
+                             f"{n}-level slide {self.path!r}")
 
     def level_size(self, level: int) -> Tuple[int, int]:
         """(width, height)."""
+        self._check_level(level)
         if self.native:
             w = ctypes.c_uint32()
             h = ctypes.c_uint32()
-            self._lib.tr_level_size(self._handle, level, ctypes.byref(w),
-                                    ctypes.byref(h))
+            self._fn("level_size")(self._handle, level, ctypes.byref(w),
+                                   ctypes.byref(h))
             return w.value, h.value
         lv = self._np_levels[level]
         return lv.shape[1], lv.shape[0]
 
     def read_region(self, level: int, x: int, y: int, w: int, h: int):
         """(h, w, 3) uint8; out-of-bounds filled white."""
+        self._check_level(level)
         out = np.empty((h, w, 3), np.uint8)
         if self.native:
-            rc = self._lib.tr_read_region(
+            rc = self._fn("read_region")(
                 self._handle, level, x, y, w, h,
                 out.ctypes.data_as(ctypes.c_void_p),
             )
-            assert rc == 0, rc
+            if rc != 0:
+                raise OSError(
+                    f"{self._PREFIX}read_region failed (rc={rc}) on "
+                    f"{self.path!r} level {level} at ({x}, {y})")
             return out
         lv = self._np_levels[level]
         out[:] = 255
@@ -259,9 +288,15 @@ class RawSlide:
                      max_attempts: int = 50):
         """Random tissue tiles with rejection (trainer-mode sampling rules
         of ``data_utils.py:1``). Returns (tiles (n,t,t,3), coords (n,2));
-        coords are (-1,-1) for slots that exhausted their attempts."""
-        out = np.empty((n, tile, tile, 3), np.uint8)
-        coords = np.empty((n, 2), np.int64)
+        coords are (-1,-1) for slots that exhausted their attempts (or when
+        the level is smaller than the tile), with mid-gray filler tiles."""
+        self._check_level(level)
+        # Pre-fill the documented failure contract: the native samplers
+        # return early without touching the buffers when the level is
+        # smaller than the tile, and np.empty garbage must never be
+        # mistaken for tiles.
+        out = np.full((n, tile, tile, 3), 128, np.uint8)
+        coords = np.full((n, 2), -1, np.int64)
         if self.native:
             m_ptr = None
             mw = mh = 0
@@ -269,18 +304,22 @@ class RawSlide:
                 mask = np.ascontiguousarray(mask.astype(np.uint8))
                 m_ptr = mask.ctypes.data_as(ctypes.c_void_p)
                 mh, mw = mask.shape
-            self._lib.tr_sample_tiles(
+            rc = self._fn("sample_tiles")(
                 self._handle, level, tile, n, seed, white_mean_max,
                 stddev_min, m_ptr, mw, mh, mask_scale, max_attempts,
                 out.ctypes.data_as(ctypes.c_void_p),
                 coords.ctypes.data_as(ctypes.c_void_p),
             )
+            if rc < 0:
+                raise OSError(
+                    f"{self._PREFIX}sample_tiles failed (rc={rc}) on "
+                    f"{self.path!r} level {level}")
             return out, coords
-        # numpy fallback
         rng = np.random.default_rng(seed)
         W, H = self.level_size(level)
+        if W < tile or H < tile:
+            return out, coords  # same contract as the native early return
         for i in range(n):
-            coords[i] = (-1, -1)
             for _ in range(max_attempts):
                 x = int(rng.integers(0, W - tile + 1))
                 y = int(rng.integers(0, H - tile + 1))
@@ -295,13 +334,11 @@ class RawSlide:
                 out[i] = patch
                 coords[i] = (x, y)
                 break
-            else:
-                out[i] = 128
         return out, coords
 
     def close(self):
         if self.native and self._handle:
-            self._lib.tr_close(self._handle)
+            self._fn("close")(self._handle)
             self._handle = None
 
     def __del__(self):
@@ -309,6 +346,22 @@ class RawSlide:
             self.close()
         except Exception:
             pass
+
+
+class RawSlide(_SlideBase):
+    """Handle over a WSIRAW pyramid, native-backed with numpy fallback.
+
+    API mirrors what the WSI sampler needs from OpenSlide/pyvips
+    (``read_region`` / level geometry; ``data_utils.py:1``).
+    """
+
+    _PREFIX = "tr_"
+
+    def _get_lib(self):
+        return get_lib()
+
+    def _load_fallback(self, path: str):
+        return _read_wsiraw_numpy(path)
 
 
 def _read_wsiraw_numpy(path: str):
@@ -363,60 +416,18 @@ def write_tiff_pyramid(path: str, levels, tile: int = 256,
         lib.tf_writer_close(handle)
 
 
-class TiffSlide:
+class TiffSlide(_SlideBase):
     """Handle over a tiled/stripped pyramidal TIFF (.svs, .tif): the
     OpenSlide.read_region / pyvips.Region.fetch replacement
     (``data_utils.py:1``). Native libtiff decode with a PIL fallback."""
 
-    def __init__(self, path: str):
-        self.path = path
-        self._lib = get_tiff_lib()
-        self._handle = None
-        self._np_levels = None
-        if self._lib is not None:
-            self._handle = self._lib.tf_open(path.encode())
-        if not self._handle:
-            self._lib = None
-            self._np_levels = _read_tiff_pil(path)
+    _PREFIX = "tf_"
 
-    @property
-    def native(self) -> bool:
-        return self._handle is not None
+    def _get_lib(self):
+        return get_tiff_lib()
 
-    @property
-    def num_levels(self) -> int:
-        if self.native:
-            return self._lib.tf_num_levels(self._handle)
-        return len(self._np_levels)
-
-    def level_size(self, level: int) -> Tuple[int, int]:
-        """(width, height)."""
-        if self.native:
-            w = ctypes.c_uint32()
-            h = ctypes.c_uint32()
-            self._lib.tf_level_size(self._handle, level, ctypes.byref(w),
-                                    ctypes.byref(h))
-            return w.value, h.value
-        lv = self._np_levels[level]
-        return lv.shape[1], lv.shape[0]
-
-    def read_region(self, level: int, x: int, y: int, w: int, h: int):
-        """(h, w, 3) uint8; out-of-bounds filled white."""
-        out = np.empty((h, w, 3), np.uint8)
-        if self.native:
-            rc = self._lib.tf_read_region(
-                self._handle, level, x, y, w, h,
-                out.ctypes.data_as(ctypes.c_void_p),
-            )
-            assert rc == 0, rc
-            return out
-        lv = self._np_levels[level]
-        out[:] = 255
-        x0, y0 = max(x, 0), max(y, 0)
-        x1, y1 = min(x + w, lv.shape[1]), min(y + h, lv.shape[0])
-        if x0 < x1 and y0 < y1:
-            out[y0 - y : y1 - y, x0 - x : x1 - x] = lv[y0:y1, x0:x1]
-        return out
+    def _load_fallback(self, path: str):
+        return _read_tiff_pil(path)
 
     def read_regions(self, level: int, coords, w: int, h: int):
         """Batched ``read_region``: (n, h, w, 3) uint8 decoded concurrently
@@ -424,6 +435,7 @@ class TiffSlide:
         counterpart of the threaded train-mode sampler (the reference
         tester's exhaustive deployment loop, ``data_utils.py:1``). Failed
         regions come back mid-gray, like the sampler's slot substitution."""
+        self._check_level(level)
         coords = np.ascontiguousarray(coords, np.int64).reshape(-1, 2)
         n = len(coords)
         out = np.empty((n, h, w, 3), np.uint8)
@@ -435,70 +447,13 @@ class TiffSlide:
                 ys.ctypes.data_as(ctypes.c_void_p), n, w, h,
                 out.ctypes.data_as(ctypes.c_void_p),
             )
-            assert rc >= 0, rc
+            if rc < 0:
+                raise OSError(f"tf_read_regions failed (rc={rc}) on "
+                              f"{self.path!r} level {level}")
             return out
         for i, (x, y) in enumerate(coords):
             out[i] = self.read_region(level, int(x), int(y), w, h)
         return out
-
-    def sample_tiles(self, level: int, tile: int, n: int, seed: int = 0,
-                     white_mean_max: float = 230.0, stddev_min: float = 15.0,
-                     mask: Optional[np.ndarray] = None,
-                     mask_scale: float = 0.0,
-                     max_attempts: int = 50):
-        """Same contract as :meth:`RawSlide.sample_tiles`."""
-        out = np.empty((n, tile, tile, 3), np.uint8)
-        coords = np.empty((n, 2), np.int64)
-        if self.native:
-            m_ptr = None
-            mw = mh = 0
-            if mask is not None:
-                mask = np.ascontiguousarray(mask.astype(np.uint8))
-                m_ptr = mask.ctypes.data_as(ctypes.c_void_p)
-                mh, mw = mask.shape
-            rc = self._lib.tf_sample_tiles(
-                self._handle, level, tile, n, seed, white_mean_max,
-                stddev_min, m_ptr, mw, mh, mask_scale, max_attempts,
-                out.ctypes.data_as(ctypes.c_void_p),
-                coords.ctypes.data_as(ctypes.c_void_p),
-            )
-            if rc < 0:
-                raise IndexError(
-                    f"tf_sample_tiles failed (rc={rc}): level {level} of "
-                    f"{self.num_levels}-level slide"
-                )
-            return out, coords
-        rng = np.random.default_rng(seed)
-        W, H = self.level_size(level)
-        for i in range(n):
-            coords[i] = (-1, -1)
-            out[i] = 128
-            for _ in range(max_attempts):
-                x = int(rng.integers(0, W - tile + 1))
-                y = int(rng.integers(0, H - tile + 1))
-                if mask is not None:
-                    mx = min(int(x * mask_scale), mask.shape[1] - 1)
-                    my = min(int(y * mask_scale), mask.shape[0] - 1)
-                    if not mask[my, mx]:
-                        continue
-                patch = self.read_region(level, x, y, tile, tile)
-                if patch.mean() > white_mean_max or patch.std() < stddev_min:
-                    continue
-                out[i] = patch
-                coords[i] = (x, y)
-                break
-        return out, coords
-
-    def close(self):
-        if self.native and self._handle:
-            self._lib.tf_close(self._handle)
-            self._handle = None
-
-    def __del__(self):
-        try:
-            self.close()
-        except Exception:
-            pass
 
 
 def _read_tiff_pil(path: str):

@@ -105,3 +105,45 @@ def test_numpy_fallback_paths(slide_path, monkeypatch):
     batch = np.stack([he_patch(16, 16, seed=9)] * 2)
     planar = native.pack_planar(batch)
     assert planar.shape == (2, 3, 2, 128)
+
+
+def test_level_out_of_range_raises(slide_path):
+    path, _, _ = slide_path
+    s = native.RawSlide(path)
+    try:
+        with pytest.raises(IndexError):
+            s.level_size(5)
+        with pytest.raises(IndexError):
+            s.read_region(5, 0, 0, 16, 16)
+        with pytest.raises(IndexError):
+            s.sample_tiles(-1, 16, 2)
+    finally:
+        s.close()
+
+
+def test_sample_tiles_level_smaller_than_tile(slide_path):
+    """Level smaller than the tile: the documented gray/(-1,-1) contract,
+    never uninitialized memory (native early-returns without writing)."""
+    path, _, _ = slide_path
+    s = native.RawSlide(path)
+    try:
+        tiles, coords = s.sample_tiles(1, 512, 3, seed=1)  # lv1 is 160x128
+        assert (coords == -1).all()
+        assert (tiles == 128).all()
+    finally:
+        s.close()
+
+
+def test_corrupt_wsiraw_header_rejected(tmp_path):
+    """Overflowing w*h in the header must not pass tr_open's size check
+    (3*w*h wrapping uint64) — expect a clean Python error, not a crash."""
+    path = str(tmp_path / "evil.wsr")
+    with open(path, "wb") as f:
+        f.write(np.uint32(native.MAGIC).tobytes())
+        f.write(np.uint32(1).tobytes())
+        f.write(np.uint32(0x80000000).tobytes())  # w
+        f.write(np.uint32(0x80000000).tobytes())  # h: 3*w*h wraps mod 2^64
+        f.write(np.zeros(2, np.uint32).tobytes())
+        f.write(b"\x00" * 64)
+    with pytest.raises(Exception):
+        native.RawSlide(path)  # native open refuses -> numpy fallback raises
