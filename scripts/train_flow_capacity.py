@@ -167,6 +167,12 @@ def run(args):
             "normalized_nmi_sd": round(res["nmi_sd"], 4),
             "normalized_nmi_cv": round(res["nmi_cv"], 4),
             "sd_reduction": round(raw_sd / max(res["nmi_sd"], 1e-9), 2),
+            # The reference's exact statistic (per-class SD/CV averaged
+            # across classes, train_img_horo.py:865-898), before/after.
+            "class_nmi_sd_raw": round(res["class_nmi_sd_raw"], 4),
+            "class_nmi_cv_raw": round(res["class_nmi_cv_raw"], 4),
+            "class_nmi_sd": round(res["class_nmi_sd"], 4),
+            "class_nmi_cv": round(res["class_nmi_cv"], 4),
         })
 
     print(json.dumps(summary), flush=True)

@@ -86,8 +86,13 @@ class MobileNetBackbone(nn.Module):
         x = nn.Conv(c(32), (3, 3), strides=(2, 2), padding="SAME",
                     use_bias=False)(x)
         x = nn.relu(norm()(x))
+        # The full MobileNetV1 stack: 64s1, 128s2/s1, 256s2/s1, 512s2 then
+        # five 512s1 blocks, 1024s2/s1 — matching keras MobileNet(alpha)
+        # so the TCGA trunk capacity is apples-to-apples with the
+        # reference's (``tcga_dann_4reps.py:74-80``).
         for ch, stride in [(64, 1), (128, 2), (128, 1), (256, 2), (256, 1),
-                           (512, 2), (512, 1), (512, 1), (1024, 2)]:
+                           (512, 2), (512, 1), (512, 1), (512, 1), (512, 1),
+                           (512, 1), (1024, 2), (1024, 1)]:
             x = sep_block(x, c(ch), stride)
         return jnp.mean(x, axis=(1, 2))
 

@@ -55,8 +55,11 @@ def image_dist_transform(hsd, gamma, mu_src, sigma_src, mu_tmpl, sigma_tmpl):
 
 def nmi(rgb, mask):
     """Normalized median intensity of the masked pixels of one image:
-    median(mean-RGB) / 95th-percentile(mean-RGB) (``train_img_horo.py:
-    817-840``). ``rgb``: (H, W, 3) in [0,255]; ``mask``: (H, W) bool."""
+    median(mean-RGB) / 95th-percentile(mean-RGB). A whole-mask variant
+    (one value per image over the tissue mask) used for the synthetic
+    before/after comparisons; the reference's exact per-tissue-class
+    statistic is :func:`nmi_per_class` (``train_img_horo.py:817-840``).
+    ``rgb``: (H, W, 3) in [0,255]; ``mask``: (H, W) bool."""
     u = jnp.mean(jnp.asarray(rgb, jnp.float32), axis=-1).reshape(-1)
     m = jnp.asarray(mask).reshape(-1)
     med = masked_percentile(u, m, 50.0)
@@ -71,3 +74,53 @@ def nmi_sd_cv(nmi_values):
     sd = float(v.std(ddof=0))
     cv = float(sd / max(v.mean(), 1e-12))
     return sd, cv
+
+
+def nmi_per_class(rgb, gamma):
+    """The reference's exact NMI statistic (``train_img_horo.py:817-840``):
+    per image and per GMM tissue class, median / 95th-percentile of the
+    channel-mean intensity over the class's argmax-membership mask
+    (``ClsLbl = argmax(pi)``).
+
+    ``rgb``: (B, H, W, 3) in [0,255] (the recolored deployment output);
+    ``gamma``: (B, H, W, K) responsibilities. Returns (B, K) float64 with
+    NaN where a class has no pixels in an image (the reference skips the
+    metric for absent classes). Host-side numpy — this is the eval path.
+    """
+    rgb = np.asarray(rgb, np.float64)
+    g = np.asarray(gamma)
+    cls = np.argmax(g, axis=-1)  # (B, H, W)
+    B, K = g.shape[0], g.shape[-1]
+    mean_rgb = rgb.mean(axis=-1)
+    out = np.full((B, K), np.nan)
+    for i in range(B):
+        for k in range(K):
+            vals = mean_rgb[i][cls[i] == k]
+            if vals.size:
+                p95 = np.percentile(vals, 95)
+                out[i, k] = np.median(vals) / max(p95, 1e-6)
+    return out
+
+
+def class_nmi_sd_cv(nmi_bk):
+    """Aggregate :func:`nmi_per_class` values the reference's way
+    (``train_img_horo.py:865-898``): per class, SD (Bessel-corrected, as
+    ``torch.std``) and CV over all images where the class is present; the
+    headline numbers are the AVERAGE SD and CV across present classes.
+    Returns (avg_sd, avg_cv, per_class) with per_class a list of
+    (class_index, sd, cv)."""
+    v = np.asarray(nmi_bk, np.float64)
+    per_class = []
+    for k in range(v.shape[1]):
+        col = v[:, k]
+        col = col[~np.isnan(col)]
+        if col.size < 2:
+            continue
+        sd = float(col.std(ddof=1))
+        cv = float(sd / max(col.mean(), 1e-12))
+        per_class.append((k, sd, cv))
+    if not per_class:
+        return float("nan"), float("nan"), per_class
+    avg_sd = float(np.mean([s for _, s, _ in per_class]))
+    avg_cv = float(np.mean([c for _, _, c in per_class]))
+    return avg_sd, avg_cv, per_class

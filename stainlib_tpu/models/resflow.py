@@ -53,10 +53,16 @@ class IResBlock(nn.Module):
             input_shape=self.input_shape, kernel_sizes=self.kernel_sizes,
         )
 
-    def __call__(self, x, key, update: bool = False, exact_logdet: bool = False):
+    def __call__(self, x, key, update: bool = False,
+                 exact_logdet: bool = False, skip_logdet: bool = False):
         # Power-iteration state may only mutate in this direct call — never
         # inside the logdet scan/jvp (illegal variable write under lax.scan).
         y = x + self.g(x, update=update)
+        if skip_logdet:
+            # Spectral-refresh path (update_lipschitz): the power iteration
+            # reads only the kernels, so the Hutchinson series would be
+            # computed just to be discarded.
+            return y, jnp.zeros((x.shape[0],), x.dtype)
         g_fn = lambda v: self.g(v, update=False)
         if exact_logdet:
             logdet = _exact_logdet(g_fn, x)
@@ -176,7 +182,7 @@ class ResidualFlow(nn.Module):
         self.norms = norms
 
     def __call__(self, x, key, update: bool = False,
-                 exact_logdet: bool = False):
+                 exact_logdet: bool = False, skip_logdet: bool = False):
         B = x.shape[0]
         logdet = jnp.zeros((B,), x.dtype)
         y, ld = self.init_layer(x)
@@ -189,7 +195,8 @@ class ResidualFlow(nn.Module):
                 logdet += ld
                 key, sub = jax.random.split(key)
                 y, ld = self.scales[s][b](
-                    y, sub, update=update, exact_logdet=exact_logdet
+                    y, sub, update=update, exact_logdet=exact_logdet,
+                    skip_logdet=skip_logdet,
                 )
                 logdet += ld
             if s != self.n_scales - 1:
@@ -213,9 +220,13 @@ class ResidualFlow(nn.Module):
 def update_lipschitz(model: ResidualFlow, variables, x, key):
     """Re-run power iteration on every spectral-norm conv (the reference's
     post-step ``update_lipschitz(model)``, ``train_img_horo.py:1089-1095``).
-    Returns refreshed variables; jit-able."""
+    Returns refreshed variables; jit-able. The power iteration is
+    data-independent (it reads only the kernels), so the pass runs on a
+    single batch element with the Hutchinson logdet skipped — identical
+    spectral state at a fraction of the full forward's cost."""
     outs, updated = model.apply(
-        variables, x, key, update=True, mutable=["spectral"]
+        variables, x[:1], key, update=True, skip_logdet=True,
+        mutable=["spectral"]
     )
     del outs
     new_vars = dict(variables)

@@ -203,6 +203,20 @@ def make_train_step(flow, gmm, cfg: FlowConfig, tx,
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 
+        # EMA advances once per REAL optimizer update (the reference applies
+        # it after each optimizer.step(), train_img_horo.py:594). Under
+        # gradient accumulation MultiSteps leaves params frozen mid-cycle
+        # (mini_step != 0 after the update marks an accumulation step), and
+        # decaying the shadow toward unchanged params there would shrink
+        # the effective EMA horizon by update_freq.
+        new_ema = ema_update(state.ema, params)
+        if cfg.update_freq > 1:
+            applied = opt_state.mini_step == 0
+            new_ema = jax.tree.map(
+                lambda a, b: jnp.where(applied, a, b),
+                new_ema, state.ema,
+            )
+
         # Post-step Lipschitz refresh (train_img_horo.py:1089-1095).
         d01 = jnp.clip(hsd[..., 2:3] / 4.0, 1e-4, 1.0 - 1e-4)
         fvars = update_lipschitz(
@@ -213,7 +227,7 @@ def make_train_step(flow, gmm, cfg: FlowConfig, tx,
             params=params,
             spectral=fvars["spectral"],
             opt_state=opt_state,
-            ema=ema_update(state.ema, params),
+            ema=new_ema,
             step=state.step + 1,
             key=k_next,
         )

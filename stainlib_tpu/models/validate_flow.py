@@ -79,11 +79,16 @@ def deploy(flow, gmm, cfg: FlowConfig, params, spectral, test_batches,
     )
     nmis = []
     outs = []
+    class_nmis = []  # (B, K) per batch — the reference's per-class metric
+    class_nmis_raw = []  # same statistic on the un-recolored input
     meter = Throughput()
     for hsd in test_batches:
         hsd = jnp.asarray(hsd, jnp.float32)
         key, sub = jax.random.split(key)
         _, _, gamma = enc(hsd, sub)
+        # Source stats pooled over the batch — exactly the reference: the
+        # GMM head returns ONE (mu, std) per deploy batch
+        # (train_img_horo.py:703-705, applied at :815).
         mu_s, sd_s = color_eval.class_color_stats(hsd, gamma)
         rgb = color_eval.image_dist_transform(
             hsd, gamma, mu_s, sd_s, mu_tmpl, sigma_tmpl
@@ -91,9 +96,13 @@ def deploy(flow, gmm, cfg: FlowConfig, params, spectral, test_batches,
         mask = tissue_mask(rgb).mask
         for i in range(rgb.shape[0]):
             nmis.append(float(color_eval.nmi(rgb[i], mask[i])))
+        class_nmis.append(color_eval.nmi_per_class(np.asarray(rgb), gamma))
+        class_nmis_raw.append(color_eval.nmi_per_class(
+            np.asarray(to_uint8(hsd_to_rgb(hsd))), gamma))
         outs.append(np.asarray(rgb))
         log(f"deploy: {meter.tick(int(rgb.shape[0])):.1f} imgs/sec")
-    return np.asarray(nmis), outs
+    return np.asarray(nmis), outs, (np.concatenate(class_nmis),
+                                    np.concatenate(class_nmis_raw))
 
 
 def validate(flow, gmm, cfg: FlowConfig, params, spectral,
@@ -104,10 +113,17 @@ def validate(flow, gmm, cfg: FlowConfig, params, spectral,
     mu_t, sd_t = accumulate_template_stats(
         flow, gmm, cfg, params, spectral, template_batches, k1
     )
-    nmis, outs = deploy(flow, gmm, cfg, params, spectral, test_batches,
-                        mu_t, sd_t, k2, log=log)
+    nmis, outs, (cls_nmi, cls_nmi_raw) = deploy(
+        flow, gmm, cfg, params, spectral, test_batches,
+        mu_t, sd_t, k2, log=log)
     sd, cv = color_eval.nmi_sd_cv(nmis)
-    log(f"validate: NMI sd={sd:.4f} cv={cv:.4f} over {len(nmis)} images")
+    # The reference metric: per-class SD/CV averaged across classes
+    # (train_img_horo.py:865-898), before and after recoloring.
+    csd, ccv, per_class = color_eval.class_nmi_sd_cv(cls_nmi)
+    csd_raw, ccv_raw, _ = color_eval.class_nmi_sd_cv(cls_nmi_raw)
+    log(f"validate: NMI sd={sd:.4f} cv={cv:.4f} over {len(nmis)} images; "
+        f"per-class avg sd={csd:.4f} cv={ccv:.4f} "
+        f"(raw {csd_raw:.4f}/{ccv_raw:.4f})")
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         with open(os.path.join(out_dir, "nmi_metrics.csv"), "w",
@@ -119,6 +135,9 @@ def validate(flow, gmm, cfg: FlowConfig, params, spectral,
             w.writerow(["sd", sd])
             w.writerow(["cv", cv])
     return {"nmi_sd": sd, "nmi_cv": cv, "nmi": nmis, "outputs": outs,
+            "class_nmi_sd": csd, "class_nmi_cv": ccv,
+            "class_nmi_sd_raw": csd_raw, "class_nmi_cv_raw": ccv_raw,
+            "class_nmi": cls_nmi, "class_nmi_per_class": per_class,
             "mu_tmpl": np.asarray(mu_t), "sigma_tmpl": np.asarray(sd_t)}
 
 

@@ -20,13 +20,18 @@ from jax.sharding import Mesh
 
 def initialize_distributed(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
-                           process_id: Optional[int] = None) -> None:
+                           process_id: Optional[int] = None,
+                           auto: bool = False) -> None:
     """Multi-host bootstrap (replaces ``hvd.init()``/mpirun env wiring).
 
-    No-op on a single host; on a multi-host deployment pass coordinator
-    address + process topology or rely on the TPU runtime's autodetection.
+    No-op when called with no arguments on a single host. Pass coordinator
+    address + process topology explicitly, or ``auto=True`` on a TPU pod to
+    let ``jax.distributed.initialize()`` read the runtime's topology
+    metadata (any partial argument set is forwarded as given).
     """
-    if num_processes is not None and num_processes > 1:
+    explicit = (coordinator_address is not None or process_id is not None
+                or (num_processes is not None and num_processes > 1))
+    if auto or explicit:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,

@@ -30,7 +30,7 @@ def normalize_batch_sharded(mesh: Mesh, target_rgb, batch_rgb,
                             fused: bool = False):
     """Fit on the (replicated) target, transform a 'data'-sharded tile batch.
 
-    The batch's leading axis must divide the 'data' axis size. Returns uint8
+    The 'data' axis size must divide the batch's leading axis. Returns uint8
     tiles with the same sharding as the input.
 
     ``fused=True`` runs the flagship Pallas kernels on each shard under
@@ -83,7 +83,7 @@ def sharded_concentrations(mesh: Mesh, od_pixels, stain_matrix,
                            regularizer: float = 0.01, axis: str = "pixel"):
     """Pixel-sharded exact lasso over (N, 3) OD pixels.
 
-    ``N`` must divide the mesh's total device count when using the default
+    The mesh's total device count must divide ``N`` when using the default
     single-axis mesh. Collective-free: concentrations are per-pixel.
     """
     if axis not in mesh.axis_names:

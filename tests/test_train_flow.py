@@ -205,3 +205,28 @@ def test_reference_capacity_param_count():
     n += sum(int(np.prod(p.shape)) for p in jax.tree.leaves(gvars["params"]))
     # Within 1% of the published 500,388 (README segmentation table).
     assert abs(n - 500_388) / 500_388 < 0.01, n
+
+
+def test_nmi_per_class_reference_semantics():
+    """nmi_per_class: argmax-membership masks, median/p95 per class per
+    image, NaN for absent classes; class_nmi_sd_cv averages Bessel-
+    corrected per-class SD/CV (train_img_horo.py:817-898)."""
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, (2, 8, 8, 3)).astype(np.uint8)
+    gamma = np.zeros((2, 8, 8, 3), np.float32)
+    gamma[:, :4, :, 0] = 1.0   # class 0: top half
+    gamma[:, 4:, :, 1] = 1.0   # class 1: bottom half; class 2 absent
+    out = color_eval.nmi_per_class(rgb, gamma)
+    assert out.shape == (2, 3)
+    assert np.isnan(out[:, 2]).all()
+    m = rgb[0, :4].astype(np.float64).mean(-1).ravel()
+    want = np.median(m) / np.percentile(m, 95)
+    np.testing.assert_allclose(out[0, 0], want, rtol=1e-12)
+
+    sd, cv, per_class = color_eval.class_nmi_sd_cv(out)
+    assert len(per_class) == 2  # absent class skipped
+    v0 = out[:, 0]
+    np.testing.assert_allclose(per_class[0][1], v0.std(ddof=1), rtol=1e-12)
+    np.testing.assert_allclose(
+        sd, np.mean([p[1] for p in per_class]), rtol=1e-12)
+    assert cv > 0
