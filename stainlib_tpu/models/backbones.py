@@ -99,7 +99,9 @@ class MobileNetBackbone(nn.Module):
 
 class MobileNetDann(nn.Module):
     """MobileNet trunk + the two-headed gradient-reversal top — the TCGA
-    configuration of ``tcga_dann_4reps.py:66-80``."""
+    configuration of ``tcga_dann_4reps.py:66-99``: each head is the
+    reference's Dense(256) -> Dense(128) -> softmax stack (``feats1_gp``/
+    ``feats2_gp``/``output`` and the domain mirror behind the reversal)."""
 
     n_domains: int = 8
     alpha: float = 0.5
@@ -108,8 +110,10 @@ class MobileNetDann(nn.Module):
     def __call__(self, x, hp_lambda=1.0, train: bool = True):
         feats = MobileNetBackbone(alpha=self.alpha)(x, train=train)
         xd = gradient_reversal(feats, jnp.asarray(hp_lambda, x.dtype))
-        xd = nn.relu(nn.Dense(128, name="dom_pred_feats1")(xd))
+        xd = nn.relu(nn.Dense(256, name="feats1_dom")(xd))
+        xd = nn.relu(nn.Dense(128, name="feats2_dom")(xd))
         domain_logits = nn.Dense(self.n_domains, name="dom_regressor")(xd)
-        xm = nn.relu(nn.Dense(128, name="mit_pred_feats1")(feats))
+        xm = nn.relu(nn.Dense(256, name="feats1_gp")(feats))
+        xm = nn.relu(nn.Dense(128, name="feats2_gp")(xm))
         mitosis_logits = nn.Dense(2, name="mit_pred")(xm)
         return mitosis_logits, domain_logits

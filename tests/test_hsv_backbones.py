@@ -54,5 +54,47 @@ def test_mobilenet_dann_224():
     vars_ = model.init(KEY, x, train=False)
     mit, dom = model.apply(vars_, x, train=False)
     assert mit.shape == (1, 2) and dom.shape == (1, 5)
-    n_params = sum(p.size for p in jax.tree.leaves(vars_["params"]))
-    assert 2e5 < n_params < 3e6  # alpha=0.5-scale capacity
+    # Trunk parity with the reference backbone (tcga_dann_4reps.py:75):
+    # keras MobileNet(alpha=0.5, include_top=False) reports Total params
+    # 829,536 (trainable + BN moving stats). Ours must match exactly.
+    from stainlib_tpu.models.backbones import MobileNetBackbone
+    tv = MobileNetBackbone(alpha=0.5).init(KEY, x, train=False)
+    n_trunk = sum(p.size for p in jax.tree.leaves(tv["params"]))
+    n_stats = sum(p.size for p in jax.tree.leaves(tv["batch_stats"]))
+    assert n_trunk + n_stats == 829_536, (n_trunk, n_stats)
+
+
+@pytest.mark.slow
+def test_mobilenet_dann_trains_three_phases():
+    """MobileNetDann under the generic 3-phase step (the capacity driver's
+    loop, scripts/train_dann_capacity.py; ref tcga_dann_4reps.py:140-168):
+    batch-stats + gradient-reversal plumbing work for this model class and
+    all three phase weightings run on ONE compiled function."""
+    import functools
+    import optax
+    from stainlib_tpu.data.synthetic import two_domain_task
+    from stainlib_tpu.models import dann
+
+    model = MobileNetDann(n_domains=2, alpha=0.25)
+    X, y, d = two_domain_task(16, seed=0, size=32, correlation=0.5)
+    X, y, d = jnp.asarray(X), jnp.asarray(y), jnp.asarray(d)
+    variables = model.init(KEY, X[:1], train=False)
+    tx = optax.adam(1e-3)
+    state = dann.DannState(
+        params=variables["params"], batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]), key=KEY,
+    )
+    step = jax.jit(functools.partial(dann.dann_train_step, model, tx))
+    losses = []
+    for ph in (dann.PHASE_MITOSIS, dann.PHASE_DOMAIN,
+               dann.PHASE_ADVERSARIAL):
+        state, out = step(state, X, y, d, *ph)
+        losses.append(float(out["loss"]))
+    assert all(np.isfinite(l) for l in losses), losses
+    # second sweep reuses the same compiled fn (traced scalar weights)
+    n0 = step._cache_size() if hasattr(step, "_cache_size") else None
+    for ph in (dann.PHASE_MITOSIS, dann.PHASE_DOMAIN,
+               dann.PHASE_ADVERSARIAL):
+        state, out = step(state, X, y, d, *ph)
+    if n0 is not None:
+        assert step._cache_size() == n0
