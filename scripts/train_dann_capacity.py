@@ -45,12 +45,138 @@ def parse_args(argv):
     p.add_argument("--n-train", type=int, default=512)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--invariance", action="store_true",
+                   help="run the probe-toward-chance comparison at this "
+                        "capacity instead of the throughput measurement")
+    p.add_argument("--hp-lambda", type=float, default=2.0)
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--lr", type=float, default=0.01)
     return p.parse_args(argv)
+
+
+def _train_phases(model, phases, X, y, d, iters, batch, seed, tx=None):
+    """Phase-list training loop for an arbitrary two-headed model (the
+    MobileNet capacity variant of ``train_dann.train_dann_phases``, which
+    constructs the 63x63 DannCNN).
+
+    The dataset is staged in HBM ONCE and each iteration's batch is
+    gathered on-device inside the jitted step: at 224x224 a per-iteration
+    host->device batch transfer (38 MB) would dominate the step on this
+    relay (45 MB/s degraded-mode cap, BASELINE.md)."""
+    import jax.numpy as jnp
+    import optax
+
+    from stainlib_tpu.models import dann
+
+    key = jax.random.PRNGKey(seed)
+    variables = model.init(key, jnp.asarray(X[:1]), train=False)
+    if tx is None:
+        tx = optax.adam(1e-3)  # tcga_dann_4reps.py:112
+    state = dann.DannState(
+        params=variables["params"], batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        key=jax.random.fold_in(key, 1),
+    )
+    # Arguments, not closure captures: a closed-over device array is baked
+    # into the program as a constant and shipped with the remote-compile
+    # payload (HTTP 413 at 462 MB).
+    Xd = jax.device_put(jnp.asarray(X))
+    yd = jax.device_put(jnp.asarray(y))
+    dd = jax.device_put(jnp.asarray(d))
+
+    @jax.jit
+    def step(state, data, idx, w_mit, w_dom, hp_lambda):
+        Xa, ya, da = data
+        im = jnp.take(Xa, idx, axis=0)
+        ty = jnp.take(ya, idx, axis=0)
+        dy = jnp.take(da, idx, axis=0)
+        return dann.dann_train_step(model, tx, state, im, ty, dy,
+                                    w_mit, w_dom, hp_lambda)
+
+    rng = np.random.default_rng(seed + 100)
+    for _ in range(iters):
+        idx = jnp.asarray(rng.integers(0, len(X), batch))
+        for ph in phases:
+            state, _ = step(state, (Xd, yd, dd), idx, *ph)
+    return state
+
+
+def run_invariance(args):
+    """Probe-toward-chance at the TCGA capacity (224x224 MobileNet trunk):
+    the non-adversarial two-head model's live-trained domain head reads the
+    tint; the 3-phase DANN loop (``tcga_dann_4reps.py:140-168``) must push
+    it toward chance while task accuracy holds — the experiment of
+    ``scripts/dann_invariance_demo.py`` at the published model scale.
+
+    Uses the demo's proven protocol (see its module docstring): the
+    per-layer-LR SGD of ``keras_utils.py:261-328`` (the optimizer the
+    reference BUILT for this, ``tcga_dann_4reps.py:107-110`` — it compiled
+    Adam only because the multipliers 'don't work deterministically' in
+    Keras), BN momentum 0.9 for short runs, and best-of-``--reps``
+    selection by held-out TASK F1 (``base_experiment_dann.py:117-125``
+    semantics; never by domain accuracy). A measured negative result is
+    recorded in BASELINE.md: Adam 1e-3 at this scale drives the probe to
+    1.0 — adaptive per-parameter scaling neutralizes the reversed
+    gradient's magnitude, so the SGD recipe is load-bearing."""
+    from stainlib_tpu.data.synthetic import two_domain_task
+    from stainlib_tpu.models import dann
+    from stainlib_tpu.models.backbones import MobileNetDann
+    from stainlib_tpu.models.train_dann import (
+        eval_task_domain,
+        recalibrate_batch_stats,
+    )
+
+    model = MobileNetDann(n_domains=2, alpha=0.5, bn_momentum=0.9)
+    X, y, d = two_domain_task(args.n_train, seed=args.seed, size=args.size,
+                              correlation=0.5)
+    Xv, yv, dv = two_domain_task(192, seed=args.seed + 2, size=args.size,
+                                 correlation=0.5)
+    Xe, ye, de = two_domain_task(256, seed=args.seed + 1, size=args.size,
+                                 correlation=0.5)
+
+    def fit_eval(phases, seed):
+        tx = dann.make_dann_optimizer(args.lr)
+        state = _train_phases(model, phases, X, y, d, args.iters,
+                              args.batch, seed, tx=tx)
+        state = recalibrate_batch_stats(model, state, X[:512],
+                                        batch_size=args.batch)
+        val = eval_task_domain(model, state, Xv, yv, dv,
+                               batch_size=args.batch)
+        return state, val
+
+    results = {}
+    for name, phases, reps in [
+        ("probe", [dann.PHASE_MITOSIS, dann.PHASE_DOMAIN], 1),
+        ("dann", [dann.PHASE_MITOSIS, dann.PHASE_DOMAIN,
+                  dann.phase_adversarial(args.hp_lambda)], args.reps),
+    ]:
+        best_state, best_f1 = None, -1.0
+        for rep in range(reps):
+            state, val = fit_eval(phases, args.seed + 31 * rep)
+            print(f"{name} rep {rep}: val {json.dumps(val)}", flush=True)
+            if val["task_f1"] > best_f1:
+                best_state, best_f1 = state, val["task_f1"]
+        results[name] = eval_task_domain(model, best_state, Xe, ye, de,
+                                         batch_size=args.batch)
+        print(name, json.dumps(results[name]), flush=True)
+
+    out = {
+        "size": args.size,
+        "iters": args.iters,
+        "probe_domain_acc": round(results["probe"]["domain_acc"], 3),
+        "dann_domain_acc": round(results["dann"]["domain_acc"], 3),
+        "probe_task_f1": round(results["probe"]["task_f1"], 3),
+        "dann_task_f1": round(results["dann"]["task_f1"], 3),
+    }
+    print(json.dumps(out), flush=True)
+    return out
 
 
 def run(args):
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.invariance:
+        return run_invariance(args)
     from stainlib_tpu.data.synthetic import two_domain_task
     from stainlib_tpu.models import dann
     from stainlib_tpu.models.backbones import MobileNetBackbone, MobileNetDann

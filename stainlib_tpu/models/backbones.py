@@ -63,6 +63,7 @@ class MobileNetBackbone(nn.Module):
     """
 
     alpha: float = 0.5
+    bn_momentum: float = 0.99  # keras default; 0.9 for short demo runs
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -70,7 +71,8 @@ class MobileNetBackbone(nn.Module):
             return max(8, int(ch * self.alpha))
 
         norm = functools.partial(
-            nn.BatchNorm, use_running_average=not train, momentum=0.99
+            nn.BatchNorm, use_running_average=not train,
+            momentum=self.bn_momentum,
         )
 
         def sep_block(x, ch, stride):
@@ -105,10 +107,12 @@ class MobileNetDann(nn.Module):
 
     n_domains: int = 8
     alpha: float = 0.5
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, x, hp_lambda=1.0, train: bool = True):
-        feats = MobileNetBackbone(alpha=self.alpha)(x, train=train)
+        feats = MobileNetBackbone(
+            alpha=self.alpha, bn_momentum=self.bn_momentum)(x, train=train)
         xd = gradient_reversal(feats, jnp.asarray(hp_lambda, x.dtype))
         xd = nn.relu(nn.Dense(256, name="feats1_dom")(xd))
         xd = nn.relu(nn.Dense(128, name="feats2_dom")(xd))

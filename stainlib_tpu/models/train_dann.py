@@ -176,14 +176,19 @@ def eval_task_domain(model, state, images, task_labels, domain_labels,
     stated goal)."""
     import jax.numpy as jnp
 
+    # One jitted dispatch per batch — eager op-by-op apply pays the remote
+    # relay's per-op round trip (~100x slower; CLAUDE.md gotcha).
+    @jax.jit
+    def infer(variables, im):
+        ml, dl = model.apply(variables, im, train=False)
+        return ml.argmax(-1), dl.argmax(-1)
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
     preds, dpreds = [], []
     for i in range(0, len(images), batch_size):
-        ml, dl = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            jnp.asarray(images[i : i + batch_size]), train=False,
-        )
-        preds.append(np.asarray(ml).argmax(-1))
-        dpreds.append(np.asarray(dl).argmax(-1))
+        mp, dp = infer(variables, jnp.asarray(images[i : i + batch_size]))
+        preds.append(np.asarray(mp))
+        dpreds.append(np.asarray(dp))
     pred = np.concatenate(preds)
     dpred = np.concatenate(dpreds)
     tp = int(((pred == 1) & (task_labels == 1)).sum())
@@ -209,15 +214,20 @@ def recalibrate_batch_stats(model, state, images, batch_size=64, passes=2,
 
     if key is None:
         key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def one_pass(params, bs, im, k):
+        _, upd = model.apply(
+            {"params": params, "batch_stats": bs}, im, train=True,
+            rngs={"dropout": k}, mutable=["batch_stats"],
+        )
+        return upd["batch_stats"]
+
     bs = state.batch_stats
     n_full = len(images) // batch_size * batch_size
     for p in range(passes):
         for i in range(0, n_full, batch_size):
-            _, upd = model.apply(
-                {"params": state.params, "batch_stats": bs},
-                jnp.asarray(images[i : i + batch_size]), train=True,
-                rngs={"dropout": jax.random.fold_in(key, p * 10000 + i)},
-                mutable=["batch_stats"],
-            )
-            bs = upd["batch_stats"]
+            bs = one_pass(state.params, bs,
+                          jnp.asarray(images[i : i + batch_size]),
+                          jax.random.fold_in(key, p * 10000 + i))
     return state._replace(batch_stats=bs)
