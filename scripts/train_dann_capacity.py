@@ -48,8 +48,13 @@ def parse_args(argv):
     p.add_argument("--invariance", action="store_true",
                    help="run the probe-toward-chance comparison at this "
                         "capacity instead of the throughput measurement")
+    p.add_argument("--shortcut", action="store_true",
+                   help="run the shortcut-robustness experiment (train on "
+                        "95%%-tint-correlated data, test anti-correlated)")
     p.add_argument("--hp-lambda", type=float, default=2.0)
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--stripe-contrast", type=float, default=0.03)
+    p.add_argument("--noise", type=float, default=0.18)
     p.add_argument("--lr", type=float, default=0.01)
     return p.parse_args(argv)
 
@@ -101,6 +106,34 @@ def _train_phases(model, phases, X, y, d, iters, batch, seed, tx=None):
     return state
 
 
+def _best_of_reps(args, model, name, phases, iters, reps, train, val, ext):
+    """The demo's selection protocol at capacity: ``reps`` repetitions,
+    each train -> BN recalibration -> held-out val, keep the best by TASK
+    F1 (``base_experiment_dann.py:117-125`` semantics; never by domain
+    accuracy), then evaluate the winner once on the external set."""
+    from stainlib_tpu.models import dann
+    from stainlib_tpu.models.train_dann import (
+        eval_task_domain,
+        recalibrate_batch_stats,
+    )
+
+    X, y, d = train
+    best_state, best_f1 = None, -1.0
+    for rep in range(reps):
+        tx = dann.make_dann_optimizer(args.lr)
+        state = _train_phases(model, phases, X, y, d, iters,
+                              args.batch, args.seed + 31 * rep, tx=tx)
+        state = recalibrate_batch_stats(model, state, X[:512],
+                                        batch_size=args.batch)
+        v = eval_task_domain(model, state, *val, batch_size=args.batch)
+        print(f"{name} rep {rep}: val {json.dumps(v)}", flush=True)
+        if v["task_f1"] > best_f1:
+            best_state, best_f1 = state, v["task_f1"]
+    res = eval_task_domain(model, best_state, *ext, batch_size=args.batch)
+    print(name, "external", json.dumps(res), flush=True)
+    return res
+
+
 def run_invariance(args):
     """Probe-toward-chance at the TCGA capacity (224x224 MobileNet trunk):
     the non-adversarial two-head model's live-trained domain head reads the
@@ -121,28 +154,14 @@ def run_invariance(args):
     from stainlib_tpu.data.synthetic import two_domain_task
     from stainlib_tpu.models import dann
     from stainlib_tpu.models.backbones import MobileNetDann
-    from stainlib_tpu.models.train_dann import (
-        eval_task_domain,
-        recalibrate_batch_stats,
-    )
 
     model = MobileNetDann(n_domains=2, alpha=0.5, bn_momentum=0.9)
-    X, y, d = two_domain_task(args.n_train, seed=args.seed, size=args.size,
-                              correlation=0.5)
-    Xv, yv, dv = two_domain_task(192, seed=args.seed + 2, size=args.size,
-                                 correlation=0.5)
-    Xe, ye, de = two_domain_task(256, seed=args.seed + 1, size=args.size,
-                                 correlation=0.5)
-
-    def fit_eval(phases, seed):
-        tx = dann.make_dann_optimizer(args.lr)
-        state = _train_phases(model, phases, X, y, d, args.iters,
-                              args.batch, seed, tx=tx)
-        state = recalibrate_batch_stats(model, state, X[:512],
-                                        batch_size=args.batch)
-        val = eval_task_domain(model, state, Xv, yv, dv,
-                               batch_size=args.batch)
-        return state, val
+    train = two_domain_task(args.n_train, seed=args.seed, size=args.size,
+                            correlation=0.5)
+    val = two_domain_task(192, seed=args.seed + 2, size=args.size,
+                          correlation=0.5)
+    ext = two_domain_task(256, seed=args.seed + 1, size=args.size,
+                          correlation=0.5)
 
     results = {}
     for name, phases, reps in [
@@ -150,15 +169,8 @@ def run_invariance(args):
         ("dann", [dann.PHASE_MITOSIS, dann.PHASE_DOMAIN,
                   dann.phase_adversarial(args.hp_lambda)], args.reps),
     ]:
-        best_state, best_f1 = None, -1.0
-        for rep in range(reps):
-            state, val = fit_eval(phases, args.seed + 31 * rep)
-            print(f"{name} rep {rep}: val {json.dumps(val)}", flush=True)
-            if val["task_f1"] > best_f1:
-                best_state, best_f1 = state, val["task_f1"]
-        results[name] = eval_task_domain(model, best_state, Xe, ye, de,
-                                         batch_size=args.batch)
-        print(name, json.dumps(results[name]), flush=True)
+        results[name] = _best_of_reps(args, model, name, phases, args.iters,
+                                      reps, train, val, ext)
 
     out = {
         "size": args.size,
@@ -172,11 +184,58 @@ def run_invariance(args):
     return out
 
 
+def run_shortcut(args):
+    """Shortcut robustness at the TCGA capacity — the experiment that maps
+    onto the reference's actual published claim (better EXTERNAL-test task
+    performance via DANN, ``tcga_dann_4reps.py`` internal/external split):
+    tint 95%-correlated with the task at train time, anti-correlated at
+    test. A plain task-only model latches onto the tint and collapses on
+    the external set; the 3-phase DANN loop must hold task F1 there.
+    Baseline is compute-matched (3x iterations of the single phase)."""
+    from stainlib_tpu.data.synthetic import two_domain_task
+    from stainlib_tpu.models import dann
+    from stainlib_tpu.models.backbones import MobileNetDann
+
+    model = MobileNetDann(n_domains=2, alpha=0.5, bn_momentum=0.9)
+
+    def mk(n, seed, corr):
+        return two_domain_task(n, seed=seed, size=args.size,
+                               correlation=corr,
+                               stripe_contrast=args.stripe_contrast,
+                               noise=args.noise)
+
+    train = mk(args.n_train, args.seed, 0.95)
+    val = mk(192, args.seed + 2, 0.95)
+    ext = mk(256, args.seed + 1, 0.0)
+
+    results = {}
+    for name, phases, iters in [
+        ("baseline", [dann.PHASE_MITOSIS], args.iters * 3),
+        ("dann", [dann.PHASE_MITOSIS, dann.PHASE_DOMAIN,
+                  dann.phase_adversarial(args.hp_lambda)], args.iters),
+    ]:
+        results[name] = _best_of_reps(args, model, name, phases, iters,
+                                      args.reps, train, val, ext)
+
+    out = {
+        "size": args.size,
+        "iters": args.iters,
+        "baseline_external_f1": round(results["baseline"]["task_f1"], 3),
+        "dann_external_f1": round(results["dann"]["task_f1"], 3),
+        "baseline_external_acc": round(results["baseline"]["task_acc"], 3),
+        "dann_external_acc": round(results["dann"]["task_acc"], 3),
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
 def run(args):
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     if args.invariance:
         return run_invariance(args)
+    if args.shortcut:
+        return run_shortcut(args)
     from stainlib_tpu.data.synthetic import two_domain_task
     from stainlib_tpu.models import dann
     from stainlib_tpu.models.backbones import MobileNetBackbone, MobileNetDann
@@ -223,24 +282,26 @@ def run(args):
     jax.block_until_ready(state.params)
     compile_s = time.time() - t0
 
+    # Dependent-chain timing (CLAUDE.md/BASELINE.md methodology): losses
+    # stay ON DEVICE inside the timed loop — a per-iteration float() fetch
+    # would serialize a host round trip into every step on this relay.
     losses = []
     t0 = time.time()
     for i in range(args.iters):
-        tri = []
         for ph in phases:
             xb, yb, db = batch(i)
             state, loss = step(state, xb, yb, db, *ph)
-            tri.append(loss)  # dependent chain: state threads through
-        losses.append([float(v["loss_mit"]) for v in tri])
-        if i % 10 == 0:
-            print(f"iter {i}: task {losses[-1][0]:.4f} "
-                  f"dom {losses[-1][1]:.4f} adv {losses[-1][2]:.4f}",
-                  flush=True)
+            losses.append(loss["loss_mit"])  # device values; state chains
     jax.block_until_ready(state.params)
     dt = time.time() - t0
     steps = args.iters * 3
     imgs = steps * args.batch
 
+    losses = [[float(v) for v in losses[i : i + 3]]
+              for i in range(0, len(losses), 3)]
+    for i in range(0, args.iters, 10):
+        print(f"iter {i}: task {losses[i][0]:.4f} dom {losses[i][1]:.4f} "
+              f"adv {losses[i][2]:.4f}", flush=True)
     head = np.mean([l[0] for l in losses[:5]])
     tail = np.mean([l[0] for l in losses[-5:]])
     out = {

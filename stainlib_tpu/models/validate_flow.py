@@ -71,8 +71,11 @@ def deploy(flow, gmm, cfg: FlowConfig, params, spectral, test_batches,
     """DEPLOY pass: recolor every test batch toward the template and collect
     per-image NMI of the recolored output (``train_img_horo.py:750-862``).
 
-    Returns (nmi_values, recolored_batches). imgs/sec printed per batch
-    (the reference's throughput print at ``:862``).
+    Returns ``(nmi_values, recolored_batches, (class_nmi, class_nmi_raw))``
+    where the last pair holds the reference's per-class NMI arrays
+    (:func:`color_eval.nmi_per_class`, shape (N, K)) for the recolored
+    output and the un-recolored input. imgs/sec printed per batch (the
+    reference's throughput print at ``:862``).
     """
     enc = jax.jit(
         lambda hsd, k: encode(flow, gmm, params, spectral, cfg, hsd, k)
@@ -96,10 +99,14 @@ def deploy(flow, gmm, cfg: FlowConfig, params, spectral, test_batches,
         mask = tissue_mask(rgb).mask
         for i in range(rgb.shape[0]):
             nmis.append(float(color_eval.nmi(rgb[i], mask[i])))
-        class_nmis.append(color_eval.nmi_per_class(np.asarray(rgb), gamma))
+        # One device->host transfer each for rgb/gamma, reused below (the
+        # relay's transfer cap makes duplicate fetches the dominant cost).
+        rgb_np = np.asarray(rgb)
+        gamma_np = np.asarray(gamma)
+        class_nmis.append(color_eval.nmi_per_class(rgb_np, gamma_np))
         class_nmis_raw.append(color_eval.nmi_per_class(
-            np.asarray(to_uint8(hsd_to_rgb(hsd))), gamma))
-        outs.append(np.asarray(rgb))
+            np.asarray(to_uint8(hsd_to_rgb(hsd))), gamma_np))
+        outs.append(rgb_np)
         log(f"deploy: {meter.tick(int(rgb.shape[0])):.1f} imgs/sec")
     return np.asarray(nmis), outs, (np.concatenate(class_nmis),
                                     np.concatenate(class_nmis_raw))
