@@ -55,6 +55,12 @@ def parse_args(argv):
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--stripe-contrast", type=float, default=0.03)
     p.add_argument("--noise", type=float, default=0.18)
+    p.add_argument("--domain-cue", choices=("tint", "stain"), default="tint",
+                   help="'tint': two_domain_task's global channel multiplier"
+                        " (trivially readable); 'stain': stain_domain_task's"
+                        " hue-rotated H&E recipes at matched brightness")
+    p.add_argument("--stripe-amp", type=float, default=0.35,
+                   help="H-concentration stripe modulation (stain cue)")
     p.add_argument("--lr", type=float, default=0.01)
     return p.parse_args(argv)
 
@@ -192,13 +198,17 @@ def run_shortcut(args):
     test. A plain task-only model latches onto the tint and collapses on
     the external set; the 3-phase DANN loop must hold task F1 there.
     Baseline is compute-matched (3x iterations of the single phase)."""
-    from stainlib_tpu.data.synthetic import two_domain_task
+    from stainlib_tpu.data.synthetic import stain_domain_task, two_domain_task
     from stainlib_tpu.models import dann
     from stainlib_tpu.models.backbones import MobileNetDann
 
     model = MobileNetDann(n_domains=2, alpha=0.5, bn_momentum=0.9)
 
     def mk(n, seed, corr):
+        if args.domain_cue == "stain":
+            return stain_domain_task(n, seed=seed, size=args.size,
+                                     correlation=corr,
+                                     stripe_amp=args.stripe_amp)
         return two_domain_task(n, seed=seed, size=args.size,
                                correlation=corr,
                                stripe_contrast=args.stripe_contrast,

@@ -78,6 +78,55 @@ def center_tiles(center: int, n: int, h: int = 32, w: int = 32,
     return out
 
 
+def stain_domain_task(n: int, seed: int = 0, correlation: float = 0.95,
+                      size: int = 224, stripe_amp: float = 0.35,
+                      noise: float = 0.02):
+    """Two-domain task whose domain cue is a STAIN RECIPE, not a global
+    channel multiplier.
+
+    The tint cue of :func:`two_domain_task` is linearly readable from every
+    pixel — far stronger than real inter-lab stain variation, and at
+    224x224/MobileNet capacity it defeats gradient reversal outright
+    (BASELINE.md round-3 boundary measurement). Here the domains differ
+    only by hue-rotated H&E vectors (equal concentration gain and
+    illumination — matched brightness), the way the synthetic CAMELYON17
+    centers differ (``_CENTERS``); the task is stripe orientation
+    modulating the HEMATOXYLIN concentration field, so the label lives in
+    stain-space structure, not luminance. Returns
+    (images f32 [0,1] (n, size, size, 3), task_labels, domain_labels).
+    """
+    recipes = [
+        dict(H=(0.65, 0.70, 0.29), E=(0.07, 0.99, 0.11)),  # canonical
+        dict(H=(0.60, 0.60, 0.53), E=(0.03, 0.99, 0.14)),  # blue-shifted
+    ]
+    hes = []
+    for p in recipes:
+        he = np.stack([np.asarray(p["H"], np.float64),
+                       np.asarray(p["E"], np.float64)])
+        hes.append(he / np.linalg.norm(he, axis=1, keepdims=True))
+
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, 2, n)
+    match = rng.random(n) < correlation
+    d = np.where(match, y, 1 - y)
+    yy, xx = np.mgrid[0:size, 0:size]
+    imgs = np.empty((n, size, size, 3), np.float32)
+    for i in range(n):
+        c_h = 1.3 * _smooth_field(rng, size, size) ** 1.5
+        c_e = 0.9 * _smooth_field(rng, size, size) ** 1.2
+        period = rng.uniform(8.0, 14.0)
+        phase = rng.uniform(0, 2 * np.pi)
+        coord = yy if y[i] == 0 else xx
+        c_h = c_h * (1.0 + stripe_amp * np.sin(
+            2 * np.pi * coord / period + phase))
+        C = np.stack([c_h, c_e], -1)
+        C = C * (0.9 + 0.2 * rng.random((size, size, 2)))
+        img = np.exp(-(C @ hes[d[i]]))
+        img += noise * rng.standard_normal(img.shape)
+        imgs[i] = np.clip(img, 0.0, 1.0)
+    return imgs, y.astype(np.int32), d.astype(np.int32)
+
+
 def two_domain_task(n: int, seed: int = 0, correlation: float = 0.95,
                     size: int = 63, stripe_contrast: float = 0.03,
                     noise: float = 0.18):

@@ -98,3 +98,28 @@ def test_mobilenet_dann_trains_three_phases():
         state, out = step(state, X, y, d, *ph)
     if n0 is not None:
         assert step._cache_size() == n0
+
+
+def test_stain_domain_task_semantics():
+    """stain_domain_task: hue-recipe domains at matched brightness, stripe
+    orientation in the H-concentration field (the capacity-DANN cue;
+    BASELINE.md r3 boundary measurement motivates it)."""
+    from stainlib_tpu.data.synthetic import stain_domain_task
+
+    X, y, d = stain_domain_task(8, seed=0, size=32, correlation=0.5)
+    assert X.shape == (8, 32, 32, 3) and X.dtype == np.float32
+    assert X.min() >= 0.0 and X.max() <= 1.0
+    assert set(np.unique(y)) <= {0, 1} and set(np.unique(d)) <= {0, 1}
+    # determinism
+    X2, y2, d2 = stain_domain_task(8, seed=0, size=32, correlation=0.5)
+    np.testing.assert_array_equal(X, X2)
+    np.testing.assert_array_equal(y, y2)
+    # matched brightness: mean luminance gap between domains is small
+    # relative to the tint task's deliberate gap
+    lum = X.mean(axis=(1, 2, 3))
+    g0, g1 = lum[d == 0], lum[d == 1]
+    if g0.size and g1.size:
+        assert abs(g0.mean() - g1.mean()) < 0.08
+    # full correlation control
+    _, y3, d3 = stain_domain_task(16, seed=1, size=16, correlation=1.0)
+    np.testing.assert_array_equal(y3, d3)
