@@ -77,7 +77,7 @@ def main(argv=None) -> int:
     print(f"{info['width']}x{info['height']} ({info['tiles']} tiles, "
           f"{info['levels']} levels) -> {args.out}")
     print(f"flow({info['params']} params, step {info['step']})  "
-          f"wall {dt:.1f}s  {info['tiles'] / max(dt, 1e-9):.0f} tiles/s "
+          f"wall {dt:.1f}s  {info['tiles'] / max(dt, 1e-9):.1f} tiles/s "
           f"end-to-end")
     return 0
 

@@ -92,7 +92,7 @@ def main(argv=None) -> int:
     print(f"{info['width']}x{info['height']} ({info['tiles']} tiles, "
           f"{info['levels']} levels) -> {args.out}")
     print(f"method={info['method']} estimation={info['estimation']} "
-          f"fused={info['fused']}  wall {dt:.1f}s  {rate:.0f} tiles/s "
+          f"fused={info['fused']}  wall {dt:.1f}s  {rate:.1f} tiles/s "
           f"end-to-end (decode+normalize+encode)")
     return 0
 
