@@ -129,3 +129,26 @@ def test_sharded_fused_matches_single_device_fused(method):
             interpret=True)
     want = np.asarray(from_planar(out, 32, 128))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow
+def test_capacity_config_compiles_8way():
+    """The PUBLISHED-capacity flow config (500k params, 256^2) AOT-compiles
+    under an 8-way data-parallel mesh — the scale the reference ran across
+    8 Horovod workers (train_img_horo.py:1116-1172). Compile-only (lower()
+    .compile()): execution at this size belongs on real chips; what this
+    pins is that the shardings, collectives and remat survive SPMD
+    partitioning at full capacity, not just the dryrun's toy shapes."""
+    from stainlib_tpu.models.train_flow import (
+        init_flow_state, make_train_step, reference_capacity)
+
+    cfg = reference_capacity()
+    mesh = make_mesh()
+    key = jax.random.PRNGKey(0)
+    sample = np.random.default_rng(0).random(
+        (8, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    flow, gmm, state, tx = init_flow_state(cfg, key, sample_hsd=sample)
+    step = make_train_step(flow, gmm, cfg, tx, mesh=mesh)
+    batch = jnp.asarray(np.tile(sample, (2, 1, 1, 1)))  # 2 per device
+    compiled = step.lower(state, batch).compile()
+    assert compiled is not None
