@@ -157,17 +157,25 @@ def run_invariance(args):
     recorded in BASELINE.md: Adam 1e-3 at this scale drives the probe to
     1.0 — adaptive per-parameter scaling neutralizes the reversed
     gradient's magnitude, so the SGD recipe is load-bearing."""
-    from stainlib_tpu.data.synthetic import two_domain_task
+    from stainlib_tpu.data.synthetic import stain_domain_task, two_domain_task
     from stainlib_tpu.models import dann
     from stainlib_tpu.models.backbones import MobileNetDann
 
     model = MobileNetDann(n_domains=2, alpha=0.5, bn_momentum=0.9)
-    train = two_domain_task(args.n_train, seed=args.seed, size=args.size,
-                            correlation=0.5)
-    val = two_domain_task(192, seed=args.seed + 2, size=args.size,
-                          correlation=0.5)
-    ext = two_domain_task(256, seed=args.seed + 1, size=args.size,
-                          correlation=0.5)
+
+    def mk(n, seed):
+        if args.domain_cue == "stain":
+            return stain_domain_task(n, seed=seed, size=args.size,
+                                     correlation=0.5,
+                                     stripe_amp=args.stripe_amp)
+        return two_domain_task(n, seed=seed, size=args.size,
+                               correlation=0.5,
+                               stripe_contrast=args.stripe_contrast,
+                               noise=args.noise)
+
+    train = mk(args.n_train, args.seed)
+    val = mk(192, args.seed + 2)
+    ext = mk(256, args.seed + 1)
 
     results = {}
     for name, phases, reps in [
