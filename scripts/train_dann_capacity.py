@@ -153,10 +153,12 @@ def run_invariance(args):
     Adam only because the multipliers 'don't work deterministically' in
     Keras), BN momentum 0.9 for short runs, and best-of-``--reps``
     selection by held-out TASK F1 (``base_experiment_dann.py:117-125``
-    semantics; never by domain accuracy). A measured negative result is
-    recorded in BASELINE.md: Adam 1e-3 at this scale drives the probe to
-    1.0 — adaptive per-parameter scaling neutralizes the reversed
-    gradient's magnitude, so the SGD recipe is load-bearing."""
+    semantics; never by domain accuracy). Measured outcomes live in
+    BASELINE.md: Adam 1e-3 drives the probe to 1.0 at any scale (adaptive
+    per-parameter scaling neutralizes the reversed gradient, so the SGD
+    recipe is load-bearing); with ``--domain-cue stain --size 64`` the
+    probe goes 1.000 -> chance with task F1 1.0 (the positive result on
+    this trunk), while at 224x224 the cue-vs-capacity boundary holds."""
     from stainlib_tpu.data.synthetic import stain_domain_task, two_domain_task
     from stainlib_tpu.models import dann
     from stainlib_tpu.models.backbones import MobileNetDann
