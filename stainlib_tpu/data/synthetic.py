@@ -59,23 +59,56 @@ def _smooth_field(rng, h, w, scale=8):
 def center_tiles(center: int, n: int, h: int = 32, w: int = 32,
                  seed: int = 0, background_frac: float = 0.15):
     """``n`` uint8 RGB tiles from one synthetic center."""
+    return center_tiles_with_masks(center, n, h, w, seed=seed,
+                                   background_frac=background_frac)[0]
+
+
+# Segmentation classes for :func:`center_tiles_with_masks`.
+SEG_BACKGROUND, SEG_STROMA, SEG_NUCLEI = 0, 1, 2
+N_SEG_CLASSES = 3
+
+
+def center_tiles_with_masks(center: int, n: int, h: int = 32, w: int = 32,
+                            seed: int = 0, background_frac: float = 0.15):
+    """``n`` uint8 RGB tiles plus per-pixel class masks from one center.
+
+    The masks are derived from the PRE-gain concentration fields, so the
+    label of a pixel is a property of the simulated tissue, not of the
+    center's staining/illumination — the cross-center transfer setting of
+    the reference's segmentation comparison (``dlmodels/color-information/
+    README.md`` "Semantic Segmentation Comparison": a segmenter trained on
+    one center, deployed on color-shifted inputs). Classes:
+    ``SEG_NUCLEI`` where the hematoxylin field is dense, ``SEG_STROMA``
+    where tissue is present but H is not dense, ``SEG_BACKGROUND`` for the
+    whitespace band and near-empty tissue. Returns
+    ``(tiles uint8 (n,h,w,3), masks int32 (n,h,w))``; the tiles are
+    bit-identical to :func:`center_tiles` for the same arguments (the mask
+    derivation consumes no random draws)."""
     p = _CENTERS[center % N_CENTERS]
     he = np.stack([np.asarray(p["H"], np.float64),
                    np.asarray(p["E"], np.float64)])
     he /= np.linalg.norm(he, axis=1, keepdims=True)
     rng = np.random.default_rng(seed * 1009 + center)
     out = np.empty((n, h, w, 3), np.uint8)
+    masks = np.empty((n, h, w), np.int32)
     for i in range(n):
         c_h = 1.6 * _smooth_field(rng, h, w) ** 1.5
         c_e = 1.1 * _smooth_field(rng, h, w) ** 1.2
+        # Center-invariant labels from the raw fields (before gain,
+        # illumination and the per-pixel jitter below).
+        m = np.where(c_h > 0.85, SEG_NUCLEI,
+                     np.where(c_h + c_e > 0.55, SEG_STROMA,
+                              SEG_BACKGROUND)).astype(np.int32)
         C = np.stack([c_h, c_e], -1) * p["gain"]
         C *= 0.9 + 0.2 * rng.random((h, w, 2))
         img = 255.0 * p["illum"] * np.exp(-(C @ he))
         if background_frac > 0:
             bh = int(round(h * background_frac))
             img[:bh] = 255.0 * p["illum"] - rng.integers(0, 3, (bh, w, 3))
+            m[:bh] = SEG_BACKGROUND
         out[i] = np.clip(img, 0, 255).astype(np.uint8)
-    return out
+        masks[i] = m
+    return out, masks
 
 
 def stain_domain_task(n: int, seed: int = 0, correlation: float = 0.95,
