@@ -59,6 +59,9 @@ def main(argv=None) -> int:
     ap.add_argument("--quality", type=int, default=90)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU functional path")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard tile batches over an N-device mesh "
+                         "(scale-out deployment; batch must divide by N)")
     args = ap.parse_args(argv)
 
     import jax
@@ -68,6 +71,12 @@ def main(argv=None) -> int:
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
     from stainlib_tpu.normalization.slide import normalize_slide
+
+    mesh = None
+    if args.mesh:
+        from stainlib_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.mesh)
 
     target = args.target if args.target else _default_target()
 
@@ -86,7 +95,7 @@ def main(argv=None) -> int:
         estimation=args.estimation, tile=args.tile, batch=args.batch,
         level=args.level, n_fit_tiles=args.fit_tiles, seed=args.seed,
         compression=args.compression, quality=args.quality,
-        progress=progress)
+        progress=progress, mesh=mesh)
     dt = time.time() - t0
     rate = info["tiles"] / dt if dt > 0 else float("inf")
     print(f"{info['width']}x{info['height']} ({info['tiles']} tiles, "

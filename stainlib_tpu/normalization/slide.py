@@ -158,27 +158,45 @@ def _use_fused(tile: int) -> bool:
 
 
 def _make_apply(method: str, estimation: str, target_params, src,
-                tile: int, regularizer: float, interpret: bool):
+                tile: int, regularizer: float, interpret: bool,
+                mesh=None, mesh_axis: str = "data"):
     """Returns (jitted (B, t, t, 3) uint8 -> (B, t, t, 3) uint8,
     fused: bool) — ``fused`` reports whether the branch actually taken
-    runs a Pallas kernel (so callers surface a truthful signal)."""
+    runs a Pallas kernel (so callers surface a truthful signal).
+
+    With ``mesh`` set, the transform runs under ``shard_map`` with the
+    batch axis sharded over ``mesh_axis``: every device runs the identical
+    (fused or functional) pipeline on its tile shard, collective-free —
+    the per-rank model execution of the reference's deployment
+    (``train_img_horo.py:541-594``) scaled over a device mesh. The batch
+    size must then be a multiple of the mesh's device count."""
     from stainlib_tpu.normalization import extractive, reinhard
 
     fused = interpret or _use_fused(tile)
-    # Every branch is ONE jitted dispatch per batch (planarize + kernel +
-    # deplanarize included): eager glue pays per-op round-trip latency on
-    # remote-dispatch setups.
+
+    def finish(core, is_fused):
+        # Every branch is ONE jitted dispatch per batch (planarize +
+        # kernel + deplanarize included): eager glue pays per-op
+        # round-trip latency on remote-dispatch setups.
+        if mesh is None:
+            return jax.jit(core), is_fused
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        spec = P(mesh_axis, None, None, None)
+        return jax.jit(shard_map(core, mesh=mesh, in_specs=(spec,),
+                                 out_specs=spec, check_vma=False)), is_fused
+
     if method == "reinhard":
         if estimation == "slide":
             # Slide-level source stats: a pure per-pixel affine; the jitted
             # functional path is already one fused XLA program (no
             # percentile work remains for a Pallas kernel to win on).
-            @jax.jit
-            def apply_fn(batch):
+            def core(batch):
                 return reinhard.transform(
                     target_params, batch, source_stats=src.stats,
                     brightness_divisor=src.brightness_divisor)
-            return apply_fn, False
+            return finish(core, False)
 
         # estimation == 'tile': the reference's per-image source stats
         # (``normalizer.py:70-83``) — fused kernel where available.
@@ -187,26 +205,23 @@ def _make_apply(method: str, estimation: str, target_params, src,
             from stainlib_tpu.kernels.reinhard_fused import (
                 reinhard_normalize_planar)
 
-            @jax.jit
-            def apply_fn(batch):
+            def core(batch):
                 out = reinhard_normalize_planar(
                     to_planar(batch), target_params.means,
                     target_params.stds, interpret=interpret)
                 return from_planar(out, tile, tile)
-            return apply_fn, True
+            return finish(core, True)
 
-        @jax.jit
-        def apply_fn(batch):
+        def core(batch):
             return reinhard.transform(target_params, batch)
-        return apply_fn, False
+        return finish(core, False)
     if estimation == "slide":
         if fused:
             from stainlib_tpu.kernels.fused_stain import from_planar, to_planar
             from stainlib_tpu.kernels.macenko_fused import (
                 normalize_with_matrix_planar)
 
-            @jax.jit
-            def apply_fn(batch):
+            def core(batch):
                 out = normalize_with_matrix_planar(
                     to_planar(batch),
                     src.stain_matrix, src.max_c,
@@ -214,14 +229,13 @@ def _make_apply(method: str, estimation: str, target_params, src,
                     target_params.max_c_target,
                     regularizer=regularizer, interpret=interpret)
                 return from_planar(out, tile, tile)
-            return apply_fn, True
+            return finish(core, True)
 
-        @jax.jit
-        def apply_fn(batch):
+        def core(batch):
             return extractive.transform_with_matrix(
                 batch, src.stain_matrix, src.max_c,
                 target_params, regularizer=regularizer)
-        return apply_fn, False
+        return finish(core, False)
 
     # estimation == 'tile': the reference's exact per-patch semantics.
     if fused:
@@ -233,19 +247,17 @@ def _make_apply(method: str, estimation: str, target_params, src,
             from stainlib_tpu.kernels.vahadane_fused import (
                 vahadane_normalize_planar as kern)
 
-        @jax.jit
-        def apply_fn(batch):
+        def core(batch):
             out = kern(to_planar(batch),
                        target_params.stain_matrix_target,
                        target_params.max_c_target, interpret=interpret)
             return from_planar(out, tile, tile)
-        return apply_fn, True
+        return finish(core, True)
 
-    @jax.jit
-    def apply_fn(batch):
+    def core(batch):
         return extractive.transform(target_params, batch, method=method,
                                     regularizer=regularizer)
-    return apply_fn, False
+    return finish(core, False)
 
 
 def build_pyramid(level0: np.ndarray, min_dim: int = 512):
@@ -273,9 +285,11 @@ def build_pyramid(level0: np.ndarray, min_dim: int = 512):
 
 def _stream_canvas(slide, level: int, tile: int, batch: int, W: int, H: int,
                    apply_fn, progress, prefetch_depth: int,
-                   prefetch_workers: int):
+                   prefetch_workers: int, sharding=None):
     """Stream the tile grid through ``apply_fn(dev_batch, batch_index)``
-    (threaded decode -> prefetch ring -> device) into an (H, W, 3) canvas."""
+    (threaded decode -> prefetch ring -> device) into an (H, W, 3) canvas.
+    ``sharding``: optional NamedSharding for the prefetched batches (mesh
+    deployment — each DMA lands pre-sharded across the mesh)."""
     from stainlib_tpu.data.pipeline import DevicePrefetcher
 
     coords = _grid_coords(W, H, tile)
@@ -301,7 +315,7 @@ def _stream_canvas(slide, level: int, tile: int, batch: int, W: int, H: int,
                     for x, y in padded])
 
     pf = DevicePrefetcher(host_batches(), depth=prefetch_depth,
-                          workers=prefetch_workers)
+                          workers=prefetch_workers, sharding=sharding)
     for bi, dev_batch in enumerate(pf):
         out = np.asarray(apply_fn(dev_batch, bi))
         for (x, y), img in zip(chunks[bi], out):
@@ -332,6 +346,8 @@ def normalize_slide(
     prefetch_workers: int = 2,
     progress: Optional[Callable[[int, int], None]] = None,
     interpret: bool = False,
+    mesh=None,
+    mesh_axis: str = "data",
 ) -> dict:
     """Normalize every tile of a WSI toward ``target`` and write a tiled
     pyramidal TIFF. Returns a summary dict (dims, tiles, modes).
@@ -341,6 +357,10 @@ def normalize_slide(
     ``estimation``: 'slide' (one stain estimate for the whole slide;
     seam-free, fastest) or 'tile' (the reference's per-patch re-estimation,
     ``normalizer.py:45-48``).
+    ``mesh``: an optional ``jax.sharding.Mesh`` — tile batches are sharded
+    over ``mesh_axis`` and every device normalizes its shard under
+    ``shard_map`` (scale-out deployment; output is bit-identical to the
+    single-device path). ``batch`` must be a multiple of the mesh size.
     """
     from stainlib_tpu.data.native import write_tiff_pyramid
     from stainlib_tpu.normalization import extractive, reinhard
@@ -382,13 +402,26 @@ def normalize_slide(
                                 n_tiles=n_fit_tiles, seed=seed,
                                 regularizer=regularizer)
 
+        sharding = None
+        if mesh is not None:
+            n_dev = int(np.prod(list(mesh.shape.values())))
+            if batch % n_dev:
+                raise ValueError(
+                    f"batch ({batch}) must be a multiple of the mesh's "
+                    f"device count ({n_dev})")
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sharding = NamedSharding(
+                mesh, PartitionSpec(mesh_axis, None, None, None))
+
         apply_fn, fused = _make_apply(method, estimation, target_params, src,
-                                      tile, regularizer, interpret)
+                                      tile, regularizer, interpret,
+                                      mesh=mesh, mesh_axis=mesh_axis)
 
         canvas, n_tiles = _stream_canvas(
             slide, level, tile, batch, W, H,
             lambda dev_batch, _bi: apply_fn(dev_batch), progress,
-            prefetch_depth, prefetch_workers)
+            prefetch_depth, prefetch_workers, sharding=sharding)
 
         levels = build_pyramid(canvas, min_dim=min_pyramid)
         write_tiff_pyramid(out_path, levels, tile=tile,

@@ -255,6 +255,37 @@ def test_normalize_slide_memmap_canvas_identical(tmp_path, monkeypatch):
     assert (a == b).all()
 
 
+@requires_native
+def test_normalize_slide_mesh_identical(tmp_path):
+    """Mesh deployment: sharding the tile batches over a device mesh must
+    produce a byte-identical slide to the single-device run (the per-rank
+    deployment of ``train_img_horo.py:541-594`` over ``shard_map``)."""
+    from stainlib_tpu.parallel.mesh import make_mesh
+
+    path, _ = _tissue_slide(tmp_path)
+    target = he_patch(256, 256, seed=45, stain=TGT_STAIN,
+                      background_frac=0.0)
+    out_a = str(tmp_path / "single.tif")
+    normalize_slide(path, out_a, target, method="macenko", batch=8,
+                    n_fit_tiles=8, seed=3, compression="deflate")
+    mesh = make_mesh(4)
+    out_b = str(tmp_path / "mesh.tif")
+    info = normalize_slide(path, out_b, target, method="macenko", batch=8,
+                           n_fit_tiles=8, seed=3, compression="deflate",
+                           mesh=mesh)
+    assert info["tiles"] == 9
+    sa, sb = native.TiffSlide(out_a), native.TiffSlide(out_b)
+    a = sa.read_region(0, 0, 0, 600, 520)
+    b = sb.read_region(0, 0, 0, 600, 520)
+    sa.close(), sb.close()
+    assert (a == b).all()
+
+    # Batch not divisible by the mesh size is rejected up front.
+    with pytest.raises(ValueError, match="multiple of the mesh"):
+        normalize_slide(path, str(tmp_path / "bad.tif"), target, batch=6,
+                        mesh=mesh)
+
+
 def test_percentile_sequence_q_bisect_route():
     """Sequence q above the bisection threshold: q-leading stacking, same
     values as the sort route computes on smaller data."""
