@@ -170,26 +170,44 @@ def chain_tps(jax, run, first, extra_args, batch):
     cancels the fixed round-trip and probe cost.
 
     ``extra_args``: per-step tuples of additional ``run`` arguments
-    (len >= 2; the chain length is len(extra_args)).
+    (len >= 2; the chain length is len(extra_args)). If the marginal time
+    of the requested chain is smaller than the relay's jitter floor, the
+    chain is lengthened (cycling ``extra_args``) until the signal clears
+    it — short smoke configs (``--iters 3 --batch 32``) otherwise measure
+    pure jitter and the subtraction can even go negative.
     """
     import jax.numpy as jnp
 
     probe = jax.jit(lambda x: jnp.max(x))
     float(probe(run(first, *extra_args[0])))  # warm the probe program
 
-    def t_chain(n):
+    def t_chain(chain):
         t0 = time.perf_counter()
         out = first
-        for a in extra_args[:n]:
+        for a in chain:
             out = run(out, *a)
         float(probe(out))
         return time.perf_counter() - t0
 
     # min over two runs at both ends: the relay round-trip in each chain
     # carries tens of ms of jitter, which otherwise swamps short chains.
-    t1 = min(t_chain(1), t_chain(1))
-    tn = min(t_chain(len(extra_args)), t_chain(len(extra_args)))
-    return batch * (len(extra_args) - 1) / max(tn - t1, 1e-9)
+    chain = list(extra_args)
+    t1 = min(t_chain(chain[:1]), t_chain(chain[:1]))
+    while True:
+        tn = min(t_chain(chain), t_chain(chain))
+        # Signal floor: the marginal must exceed both 20 ms of absolute
+        # relay jitter and half the 1-chain round-trip before the
+        # subtraction is trustworthy; cap the lengthening at 16x.
+        if tn - t1 >= max(0.020, 0.5 * t1) or len(chain) >= 16 * len(extra_args):
+            break
+        chain = chain + chain
+    marginal = tn - t1
+    if marginal <= 0.001:
+        # Degenerate under jitter even at max length: report the
+        # conservative whole-chain bound (charges the fixed round-trip to
+        # the steps) instead of a non-physical division by ~0.
+        return batch * len(chain) / tn
+    return batch * (len(chain) - 1) / marginal
 
 
 def bench_streaming():

@@ -61,6 +61,11 @@ def _make_normalizers(args, tmpl_tiles, log):
 
     conds = {}
     methods = [m.strip() for m in args.methods.split(",") if m.strip()]
+    known = ("raw", "macenko", "vahadane", "reinhard", "flow")
+    unknown = [m for m in methods if m not in known]
+    if unknown:
+        raise SystemExit(
+            f"unknown --methods entries {unknown}; choose from {known}")
     target = np.asarray(tmpl_tiles).reshape(-1, args.size, 3)
 
     if "raw" in methods:
@@ -151,6 +156,13 @@ def run(args):
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import numpy as np
+
+    if args.size % (1 << args.seg_depth):
+        raise SystemExit(
+            f"--size ({args.size}) must be divisible by 2**seg-depth "
+            f"({1 << args.seg_depth}): the U-Net halves the field "
+            f"seg-depth times and the skip concatenations need the "
+            f"upsampled widths to match")
 
     from stainlib_tpu.data.synthetic import (
         N_CENTERS, N_SEG_CLASSES, center_tiles_with_masks,

@@ -53,16 +53,35 @@ def parse_args(argv):
                         "95%%-tint-correlated data, test anti-correlated)")
     p.add_argument("--hp-lambda", type=float, default=2.0)
     p.add_argument("--reps", type=int, default=3)
-    p.add_argument("--stripe-contrast", type=float, default=0.03)
-    p.add_argument("--noise", type=float, default=0.18)
+    p.add_argument("--stripe-contrast", type=float, default=None,
+                   help="stripe contrast (tint cue only; default 0.03)")
+    p.add_argument("--noise", type=float, default=None,
+                   help="pixel noise sigma (default: 0.18 tint, 0.02 stain)")
     p.add_argument("--domain-cue", choices=("tint", "stain"), default="tint",
                    help="'tint': two_domain_task's global channel multiplier"
                         " (trivially readable); 'stain': stain_domain_task's"
                         " hue-rotated H&E recipes at matched brightness")
-    p.add_argument("--stripe-amp", type=float, default=0.35,
-                   help="H-concentration stripe modulation (stain cue)")
+    p.add_argument("--stripe-amp", type=float, default=None,
+                   help="H-concentration stripe modulation (stain cue only;"
+                        " default 0.35)")
     p.add_argument("--lr", type=float, default=0.01)
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    # Per-cue defaults, and a hard error instead of silently ignoring a
+    # knob that belongs to the other cue's generator.
+    if args.domain_cue == "stain":
+        if args.stripe_contrast is not None:
+            p.error("--stripe-contrast is a tint-cue knob; with "
+                    "--domain-cue stain use --stripe-amp")
+        args.noise = 0.02 if args.noise is None else args.noise
+        args.stripe_amp = 0.35 if args.stripe_amp is None else args.stripe_amp
+    else:
+        if args.stripe_amp is not None:
+            p.error("--stripe-amp is a stain-cue knob; with "
+                    "--domain-cue tint use --stripe-contrast")
+        args.noise = 0.18 if args.noise is None else args.noise
+        args.stripe_contrast = (0.03 if args.stripe_contrast is None
+                                else args.stripe_contrast)
+    return args
 
 
 def _train_phases(model, phases, X, y, d, iters, batch, seed, tx=None):
@@ -169,7 +188,8 @@ def run_invariance(args):
         if args.domain_cue == "stain":
             return stain_domain_task(n, seed=seed, size=args.size,
                                      correlation=0.5,
-                                     stripe_amp=args.stripe_amp)
+                                     stripe_amp=args.stripe_amp,
+                                     noise=args.noise)
         return two_domain_task(n, seed=seed, size=args.size,
                                correlation=0.5,
                                stripe_contrast=args.stripe_contrast,
@@ -218,7 +238,8 @@ def run_shortcut(args):
         if args.domain_cue == "stain":
             return stain_domain_task(n, seed=seed, size=args.size,
                                      correlation=corr,
-                                     stripe_amp=args.stripe_amp)
+                                     stripe_amp=args.stripe_amp,
+                                     noise=args.noise)
         return two_domain_task(n, seed=seed, size=args.size,
                                correlation=corr,
                                stripe_contrast=args.stripe_contrast,

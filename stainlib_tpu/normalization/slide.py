@@ -404,11 +404,18 @@ def normalize_slide(
 
         sharding = None
         if mesh is not None:
-            n_dev = int(np.prod(list(mesh.shape.values())))
-            if batch % n_dev:
+            if mesh_axis not in mesh.shape:
+                raise ValueError(
+                    f"mesh_axis {mesh_axis!r} not in mesh axes "
+                    f"{tuple(mesh.shape)}")
+            # Divisibility is against the SHARDED axis, not the total
+            # device count: on a multi-axis mesh the batch only splits
+            # over mesh_axis (other axes replicate the shard).
+            axis_size = int(mesh.shape[mesh_axis])
+            if batch % axis_size:
                 raise ValueError(
                     f"batch ({batch}) must be a multiple of the mesh's "
-                    f"device count ({n_dev})")
+                    f"{mesh_axis!r} axis size ({axis_size})")
             from jax.sharding import NamedSharding, PartitionSpec
 
             sharding = NamedSharding(

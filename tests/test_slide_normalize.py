@@ -285,6 +285,25 @@ def test_normalize_slide_mesh_identical(tmp_path):
         normalize_slide(path, str(tmp_path / "bad.tif"), target, batch=6,
                         mesh=mesh)
 
+    # Multi-axis mesh: divisibility is against the SHARDED axis size (2),
+    # not the total device count (4) — batch=2 is valid work split over
+    # the 'data' axis and replicated across 'tiles'.
+    mesh2 = make_mesh(4, data=2, tiles=2)
+    out_c = str(tmp_path / "mesh2.tif")
+    normalize_slide(path, out_c, target, method="macenko", batch=2,
+                    n_fit_tiles=8, seed=3, compression="deflate",
+                    mesh=mesh2)
+    sc = native.TiffSlide(out_c)
+    c = sc.read_region(0, 0, 0, 600, 520)
+    sc.close()
+    assert (a == c).all()
+    with pytest.raises(ValueError, match="'data' axis size"):
+        normalize_slide(path, str(tmp_path / "bad2.tif"), target, batch=3,
+                        mesh=mesh2)
+    with pytest.raises(ValueError, match="not in mesh axes"):
+        normalize_slide(path, str(tmp_path / "bad3.tif"), target, batch=2,
+                        mesh=mesh2, mesh_axis="nope")
+
 
 def test_percentile_sequence_q_bisect_route():
     """Sequence q above the bisection threshold: q-leading stacking, same
