@@ -201,11 +201,19 @@ def chain_tps(jax, run, first, extra_args, batch):
         if tn - t1 >= max(0.020, 0.5 * t1) or len(chain) >= 16 * len(extra_args):
             break
         chain = chain + chain
+    if len(chain) != len(extra_args):
+        # Make silent lengthening visible: a smoke --iters that ran a 16x
+        # longer chain should say so (stderr; the stdout JSON line stays
+        # single-purpose for the driver).
+        print(f"[chain_tps] chain lengthened {len(extra_args)} -> "
+              f"{len(chain)} steps to clear the relay jitter floor",
+              file=sys.stderr, flush=True)
     marginal = tn - t1
-    if marginal <= 0.001:
-        # Degenerate under jitter even at max length: report the
-        # conservative whole-chain bound (charges the fixed round-trip to
-        # the steps) instead of a non-physical division by ~0.
+    if marginal < 0.020:
+        # Still inside the jitter floor even at max length (the same 20 ms
+        # threshold the loop uses): report the conservative whole-chain
+        # bound (charges the fixed round-trip to the steps) instead of
+        # dividing by an untrustworthy marginal.
         return batch * len(chain) / tn
     return batch * (len(chain) - 1) / marginal
 

@@ -34,8 +34,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def parse_args(argv):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--steps", type=int, default=220)
+    p.add_argument("--steps", type=int, default=220,
+                   help="TOTAL step target (a resumed run continues up to it)")
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--resume", action="store_true",
+                   help="continue from --out/ckpt's most-recent checkpoint")
+    p.add_argument("--save-every", type=int, default=0,
+                   help="checkpoint every N steps mid-run (0 = end only)")
     p.add_argument("--resume-steps", type=int, default=3)
     p.add_argument("--tiles-per-center", type=int, default=8)
     p.add_argument("--template-tiles", type=int, default=0,
@@ -71,7 +76,7 @@ def run(args):
     from stainlib_tpu.ops.colorspace import rgb_to_hsd
     from stainlib_tpu.ops.tissue import tissue_mask
     from stainlib_tpu.utils.checkpoint import (
-        restore_checkpoint, save_checkpoint)
+        latest_step, restore_checkpoint, save_checkpoint)
 
     cfg = reference_capacity()
     s = cfg.image_size
@@ -96,30 +101,52 @@ def run(args):
         sel = rng.integers(0, n_tmpl, args.batch)
         return jnp.asarray(tmpl_hsd[sel])
 
+    ckdir = os.path.join(args.out, "ckpt")
+    start = 0
+    if args.resume:
+        prev = latest_step(ckdir)
+        if prev is None:
+            print(f"--resume: no checkpoint under {ckdir}; starting fresh",
+                  flush=True)
+        else:
+            state = restore_checkpoint(ckdir, state)
+            start = int(state.step)
+            print(f"resumed from step {start}", flush=True)
+    if start >= args.steps:
+        raise SystemExit(
+            f"checkpoint already at step {start} >= --steps {args.steps}")
+
     # Warmup/compile on the first step; then time the dependent chain.
     t_compile = time.perf_counter()
-    state, loss0 = step_fn(state, batch_at(0))
+    state, loss0 = step_fn(state, batch_at(start))
     print(f"first step (compile) {time.perf_counter() - t_compile:.1f}s "
           f"bpd {float(loss0):.4f}", flush=True)
 
-    losses = []
+    losses = [loss0]
     t0 = time.perf_counter()
-    for i in range(1, args.steps):
+    for i in range(start + 1, args.steps):
         state, loss = step_fn(state, batch_at(i))
         losses.append(loss)  # stays on device; the state chain is dependent
+        if args.save_every and (i + 1) % args.save_every == 0:
+            # device_get drains the chain; ~seconds per save on the relay,
+            # amortized over save_every steps.
+            save_checkpoint(ckdir, jax.tree.map(np.asarray, state), i + 1)
+            print(f"step {i + 1}: bpd {float(loss):.4f} (checkpointed)",
+                  flush=True)
     final_bpd = float(losses[-1])  # single fetch drains the whole chain
+    n_timed = max(args.steps - start - 1, 1)
     dt = time.perf_counter() - t0
-    imgs_s = (args.steps - 1) * args.batch / dt
+    imgs_s = n_timed * args.batch / dt
     curve = [round(float(l), 4) for l in losses[:: args.log_every]]
-    print(f"steps 1..{args.steps - 1}: {dt:.1f}s = {imgs_s:.1f} imgs/s "
-          f"({dt / (args.steps - 1) * 1e3:.0f} ms/step)", flush=True)
+    print(f"steps {start + 1}..{args.steps - 1}: {dt:.1f}s = "
+          f"{imgs_s:.1f} imgs/s ({dt / n_timed * 1e3:.0f} ms/step)",
+          flush=True)
     print(f"bpd curve (every {args.log_every}): {curve}", flush=True)
     print(f"final bpd {final_bpd:.4f}", flush=True)
     assert np.isfinite(final_bpd), "bpd diverged"
 
     # Checkpoint + resume at full capacity (train_img_horo.py:421-448,
     # 1149-1165 parity via utils/checkpoint.py).
-    ckdir = os.path.join(args.out, "ckpt")
     save_checkpoint(ckdir, jax.tree.map(np.asarray, state), args.steps)
     _, _, fresh, _ = init_flow_state(
         cfg, jax.random.PRNGKey(args.seed + 7),

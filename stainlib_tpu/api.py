@@ -55,14 +55,24 @@ def _require_tissue(I, luminosity_threshold: float = 0.8):
 def _use_fused(I) -> bool:
     """Route single-image calls through the fused Pallas kernels on TPU
     (identical output within one uint8 step, far faster + cheaper compiles);
-    the functional jnp path covers CPU, lane-unaligned shapes, and images
+    the functional jnp path covers CPU and lane-unaligned shapes. Images
     too large for a whole tile to sit in VMEM (the kernels keep the full
-    tile + f32 working set resident; 512x512 is validated, beyond that the
-    pure-XLA path streams instead)."""
+    tile + f32 working set resident; 512x512 is validated) take the tiled
+    route instead — see :func:`_use_tiled`."""
     n_pixels = I.shape[0] * I.shape[1]
     return (jax.default_backend() == "tpu"
             and n_pixels % 128 == 0
             and n_pixels <= 512 * 512)
+
+
+def _use_tiled(I) -> bool:
+    """Fields beyond the fused kernels' VMEM reach still get a fused apply
+    on TPU: estimate once on the whole field (functional streaming
+    percentiles), apply with the fixed-matrix kernel over 512-square blocks
+    (``extractive.transform_tiled`` — the slide-deployment kernel applied
+    to a single large image, ``normalizer.py:39-50`` semantics)."""
+    return (jax.default_backend() == "tpu"
+            and I.shape[0] * I.shape[1] > 512 * 512)
 
 
 class LuminosityThresholdTissueLocator:
@@ -163,6 +173,9 @@ class ExtractiveStainNormalizer:
             out = fused(jnp.asarray(I)[None],
                         self._params.stain_matrix_target,
                         self._params.max_c_target)[0]
+        elif _use_tiled(I):
+            out = _extractive.transform_tiled_jit(
+                self._params, jnp.asarray(I), method=self.method)
         else:
             out = _extractive.transform_jit(self._params, jnp.asarray(I),
                                             method=self.method)

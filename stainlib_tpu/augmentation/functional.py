@@ -281,6 +281,39 @@ def stain_augment(rgb, key, method: str = "macenko", sigma1: float = 0.2,
         out = fused(batch, alpha.reshape(-1, 2), beta.reshape(-1, 2),
                     augment_background=augment_background)
         return out if lead else out[0]
+    if (method.lower() in ("macenko", "vahadane") and len(lead) <= 1
+            and jax.default_backend() == "tpu"
+            and n_pixels > 512 * 512):
+        # Fields beyond the fused kernels' VMEM reach: estimate the stain
+        # matrix ONCE on the whole field (functional path, streaming
+        # percentiles), then run the perturb+reconstruct apply — which is
+        # purely per-pixel — through the fused fixed-matrix kernel over
+        # 512-square blocks (white padding cropped back off).
+        from stainlib_tpu.kernels.fused_stain import (
+            blockify, from_planar, to_planar, unblockify)
+        from stainlib_tpu.kernels.macenko_fused import (
+            augment_with_matrix_planar)
+
+        batch = rgb if lead else rgb[None]
+        if batch.dtype != jnp.uint8:
+            batch = to_uint8(batch)
+        B, H, W, _ = batch.shape
+        M = _EXTRACTORS[method.lower()](batch)
+        k_a, k_b = jax.random.split(key)
+        alpha = jax.random.uniform(k_a, lead + (2,), jnp.float32,
+                                   1.0 - sigma1, 1.0 + sigma1).reshape(-1, 2)
+        beta = jax.random.uniform(k_b, lead + (2,), jnp.float32,
+                                  -sigma2, sigma2).reshape(-1, 2)
+        blocks, grid = blockify(batch, 512)
+        per_img = grid[0] * grid[1]
+        out = augment_with_matrix_planar(
+            to_planar(blocks),
+            jnp.repeat(M.reshape(B, 6), per_img, axis=0),
+            jnp.repeat(alpha, per_img, axis=0),
+            jnp.repeat(beta, per_img, axis=0),
+            augment_background=augment_background)
+        out = unblockify(from_planar(out, 512, 512), grid, H, W)
+        return out if lead else out[0]
     params = stain_augment_fit(rgb, method)
     return stain_augment_pop(params, key, sigma1, sigma2, augment_background)
 

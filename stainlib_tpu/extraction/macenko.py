@@ -76,8 +76,12 @@ def stain_matrix_macenko_from_od(od, m, angular_percentile: float = 99.0):
     That = jnp.einsum("...nc,...ck->...nk", od, V2, precision=_HI)
     phi = jnp.arctan2(That[..., 1], That[..., 0])
     mask_b = m > 0.0
-    min_phi = masked_percentile(phi, mask_b, 100.0 - angular_percentile)
-    max_phi = masked_percentile(phi, mask_b, angular_percentile)
+    # One vectorized call: on large fields both angle bounds share every
+    # count-bisection traversal instead of running two sequential loops.
+    min_phi, max_phi = masked_percentile(
+        phi, mask_b,
+        jnp.asarray([100.0 - angular_percentile, angular_percentile],
+                    jnp.float32))
 
     v1 = jnp.einsum(
         "...ck,...k->...c",

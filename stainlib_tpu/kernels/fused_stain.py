@@ -263,6 +263,34 @@ def from_planar(planar, h, w):
     return jnp.transpose(planar.reshape(B, 3, h, w), (0, 2, 3, 1))
 
 
+def blockify(rgb, block: int, pad_value: int = 255):
+    """(B, H, W, 3) -> (B * nh * nw, block, block, 3) spatial blocks, padding
+    the field with ``pad_value`` (white — zero stain concentration) up to a
+    block multiple. Fields larger than one VMEM-resident tile ride the fused
+    fixed-matrix kernels this way: per-pixel apply stages are unaffected by
+    padding, and :func:`unblockify` crops it back off."""
+    B, H, W, C = rgb.shape
+    hp = -H % block
+    wp = -W % block
+    if hp or wp:
+        rgb = jnp.pad(rgb, ((0, 0), (0, hp), (0, wp), (0, 0)),
+                      constant_values=pad_value)
+    nh, nw = (H + hp) // block, (W + wp) // block
+    blocks = rgb.reshape(B, nh, block, nw, block, C)
+    blocks = jnp.transpose(blocks, (0, 1, 3, 2, 4, 5))
+    return blocks.reshape(B * nh * nw, block, block, C), (nh, nw)
+
+
+def unblockify(blocks, grid, h: int, w: int):
+    """Inverse of :func:`blockify`: reassemble and crop to (B, h, w, 3)."""
+    nh, nw = grid
+    n, block, _, C = blocks.shape
+    B = n // (nh * nw)
+    x = blocks.reshape(B, nh, nw, block, block, C)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(B, nh * block, nw * block, C)[:, :h, :w]
+
+
 def fused_normalize(rgb, stain_matrix_src, stain_matrix_tgt, max_c_target,
                     q: float = 99.0, regularizer: float = 0.01,
                     interpret: bool = False):

@@ -100,6 +100,66 @@ transform_with_matrix_jit = jax.jit(
     transform_with_matrix, static_argnames=("regularizer",))
 
 
+def estimate_source(rgb, method: str = "macenko", regularizer: float = 0.01,
+                    **extractor_kwargs):
+    """Whole-field source estimation: (stain matrix, 99th-pct maxC) — the
+    per-image half of ``transform`` (``normalizer.py:45-48``) with nothing
+    applied. ``rgb``: (..., H, W, 3). Any field size: large reduction axes
+    ride the streaming count-bisection percentiles (``ops/percentile.py``).
+    """
+    extractor = _EXTRACTORS[method.lower()]
+    M_src = extractor(rgb, **extractor_kwargs)
+    C = get_concentrations(rgb, M_src, regularizer)
+    lead = C.shape[:-3]
+    max_c_src = percentile(C.reshape(lead + (-1, 2)), 99.0, axis=-2)
+    return M_src, max_c_src
+
+
+def transform_tiled(params: ExtractiveParams, rgb, method: str = "macenko",
+                    regularizer: float = 0.01, block: int = 512,
+                    interpret: bool = False, **extractor_kwargs):
+    """``transform`` for fields too large (or lane-unaligned) for the fully
+    fused per-tile kernels: estimate ONCE on the whole field (identical
+    statistics to :func:`transform` — the reference's per-image semantics,
+    ``normalizer.py:39-50``), then apply with the fixed-matrix fused kernel
+    (``kernels.macenko_fused.normalize_with_matrix_planar``) over
+    ``block``-square pieces. The apply is per-pixel, so cutting it into
+    blocks is exact; white padding squares up ragged edges and is cropped
+    back off. Output matches :func:`transform` within the fused kernels'
+    established one-uint8 step.
+
+    ``rgb``: (B, H, W, 3) or (H, W, 3) uint8; any H, W.
+    """
+    from stainlib_tpu.kernels.fused_stain import (
+        blockify, from_planar, to_planar, unblockify)
+    from stainlib_tpu.kernels.macenko_fused import normalize_with_matrix_planar
+
+    rgb = jnp.asarray(rgb)
+    single = rgb.ndim == 3
+    if single:
+        rgb = rgb[None]
+    B, H, W, _ = rgb.shape
+
+    M_src, max_c_src = estimate_source(rgb, method=method,
+                                       regularizer=regularizer,
+                                       **extractor_kwargs)
+    blocks, grid = blockify(rgb, block)
+    per_img = grid[0] * grid[1]
+    M_rep = jnp.repeat(M_src.reshape(B, 6), per_img, axis=0)
+    mc_rep = jnp.repeat(max_c_src.reshape(B, 2), per_img, axis=0)
+    out = normalize_with_matrix_planar(
+        to_planar(blocks), M_rep, mc_rep,
+        params.stain_matrix_target, params.max_c_target,
+        regularizer=regularizer, interpret=interpret)
+    out = unblockify(from_planar(out, block, block), grid, H, W)
+    return out[0] if single else out
+
+
+transform_tiled_jit = jax.jit(
+    transform_tiled,
+    static_argnames=("method", "regularizer", "block", "interpret"))
+
+
 def reconstruct(concentrations, stain_matrix):
     """``255 * exp(-C @ M)`` -> uint8; shared by the normalizer
     (``normalizer.py:49-50``) and the stain augmenter (``augmenter.py:445-448``)."""

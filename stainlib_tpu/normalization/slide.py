@@ -169,7 +169,7 @@ def _make_apply(method: str, estimation: str, target_params, src,
     (fused or functional) pipeline on its tile shard, collective-free —
     the per-rank model execution of the reference's deployment
     (``train_img_horo.py:541-594``) scaled over a device mesh. The batch
-    size must then be a multiple of the mesh's device count."""
+    size must then be a multiple of the mesh's ``mesh_axis`` axis size."""
     from stainlib_tpu.normalization import extractive, reinhard
 
     fused = interpret or _use_fused(tile)
@@ -360,7 +360,8 @@ def normalize_slide(
     ``mesh``: an optional ``jax.sharding.Mesh`` — tile batches are sharded
     over ``mesh_axis`` and every device normalizes its shard under
     ``shard_map`` (scale-out deployment; output is bit-identical to the
-    single-device path). ``batch`` must be a multiple of the mesh size.
+    single-device path). ``batch`` must be a multiple of the mesh's
+    ``mesh_axis`` axis size.
     """
     from stainlib_tpu.data.native import write_tiff_pyramid
     from stainlib_tpu.normalization import extractive, reinhard

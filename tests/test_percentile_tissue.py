@@ -126,3 +126,27 @@ def test_large_field_routing_agrees_with_sort():
         P._BISECT_THRESHOLD = old
     np.testing.assert_allclose(got, want, rtol=3e-6, atol=3e-6)
     np.testing.assert_allclose(want2, got2, rtol=3e-6, atol=3e-6)
+
+
+def test_bisect_percentile_vector_q():
+    # A vector q shares every traversal; results must match per-entry
+    # scalar calls AND numpy.
+    from stainlib_tpu.ops.percentile import _percentile_bisect
+
+    rng = np.random.default_rng(12)
+    x = rng.gamma(2.0, 1.5, size=(3, 4097)).astype(np.float32)
+    qs = np.asarray([1.0, 50.0, 99.0], np.float32)
+    got = np.asarray(_percentile_bisect(jnp.asarray(x), None, jnp.asarray(qs)))
+    assert got.shape == (3, 3)
+    for i, q in enumerate(qs):
+        want = np.percentile(x.astype(np.float64), q, axis=-1)
+        np.testing.assert_allclose(got[i], want, rtol=2e-6, atol=2e-6)
+
+    # Masked vector-q on the large route.
+    mask = rng.random((3, 4097)) < 0.6
+    got_m = np.asarray(
+        _percentile_bisect(jnp.asarray(x), jnp.asarray(mask), jnp.asarray(qs)))
+    for i, q in enumerate(qs):
+        for b in range(3):
+            want = np.percentile(x[b][mask[b]].astype(np.float64), q)
+            np.testing.assert_allclose(got_m[i, b], want, rtol=2e-6, atol=2e-6)
