@@ -43,6 +43,18 @@ def parse_args(argv):
     p.add_argument("--flow-scales", type=int, default=2)
     p.add_argument("--flow-blocks", type=int, default=2)
     p.add_argument("--flow-clusters", type=int, default=4)
+    p.add_argument("--capacity-ckpt", default=None,
+                   help="deploy the flow condition from a trained "
+                        "reference-capacity checkpoint directory "
+                        "(scripts/train_flow_capacity.py) instead of "
+                        "training a demo-size flow; uses EMA weights "
+                        "unless --flow-raw-weights")
+    p.add_argument("--flow-raw-weights", action="store_true",
+                   help="with --capacity-ckpt: deploy the raw (non-EMA) "
+                        "parameters")
+    p.add_argument("--capacity-step", type=int, default=None,
+                   help="with --capacity-ckpt: restore this saved step "
+                        "instead of most-recent")
     p.add_argument("--out", default="/tmp/seg_transfer")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
@@ -84,8 +96,70 @@ def _make_normalizers(args, tmpl_tiles, log):
         rfn = jax.jit(functools.partial(reinhard.transform, rparams))
         conds["reinhard"] = lambda b: np.asarray(rfn(jnp.asarray(b)))
     if "flow" in methods:
-        conds["flow"] = _train_flow_recolor(args, tmpl_tiles, log)
+        conds["flow"] = (
+            _capacity_flow_recolor(args, tmpl_tiles, log)
+            if args.capacity_ckpt
+            else _train_flow_recolor(args, tmpl_tiles, log))
     return conds
+
+
+def _capacity_flow_recolor(args, tmpl_tiles, log):
+    """The flow condition from the TRAINED reference-capacity checkpoint
+    (502,855 params, ``scripts/train_flow_capacity.py``), deployed exactly
+    like the NMI evaluation that beat the published band (BASELINE.md r3/r4:
+    EMA weights, the reference's ``--ema-val`` swap,
+    ``train_img_horo.py:668-669``): template stats over the demo's template
+    tiles, then per-batch gamma -> per-class HSD transfer. The flow is fully
+    convolutional, so the 256-trained weights deploy on ``--size`` tiles."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stainlib_tpu.models import color_eval
+    from stainlib_tpu.models.train_flow import (
+        encode, init_flow_state, reference_capacity)
+    from stainlib_tpu.models.validate_flow import accumulate_template_stats
+    from stainlib_tpu.ops.colorspace import rgb_to_hsd
+    from stainlib_tpu.utils.checkpoint import restore_checkpoint
+
+    cfg = reference_capacity()
+    if args.size % (2 ** (cfg.n_scales - 1)):
+        raise SystemExit(
+            f"--size must be divisible by {2 ** (cfg.n_scales - 1)} "
+            f"(the capacity flow's squeeze factor)")
+    flow, gmm, state, _ = init_flow_state(cfg, jax.random.PRNGKey(args.seed))
+    state = restore_checkpoint(args.capacity_ckpt, state,
+                               step=args.capacity_step)
+    params = state.params if args.flow_raw_weights else state.ema.params
+    spectral = state.spectral
+    log(f"capacity flow checkpoint: step {int(state.step)}, "
+        f"{'raw' if args.flow_raw_weights else 'EMA'} weights")
+
+    to_hsd = jax.jit(rgb_to_hsd)
+    tmpl_hsd = np.asarray(to_hsd(jnp.asarray(tmpl_tiles)))
+    key = jax.random.PRNGKey(args.seed + 1)
+    k_t, key = jax.random.split(key)
+    mu_t, sd_t = accumulate_template_stats(
+        flow, gmm, cfg, params, spectral,
+        [tmpl_hsd[i:i + args.batch]
+         for i in range(0, len(tmpl_hsd), args.batch)], k_t)
+
+    @jax.jit
+    def recolor(batch_u8, k):
+        hsd = rgb_to_hsd(batch_u8)
+        _, _, gamma = encode(flow, gmm, params, spectral, cfg, hsd, k)
+        mu_s, sd_s = color_eval.class_color_stats(hsd, gamma)
+        return color_eval.image_dist_transform(
+            hsd, gamma, mu_s, sd_s, mu_t, sd_t)
+
+    counter = [0]
+
+    def apply(b):
+        counter[0] += 1
+        return np.asarray(recolor(
+            jnp.asarray(b), jax.random.fold_in(key, counter[0])))
+
+    return apply
 
 
 def _train_flow_recolor(args, tmpl_tiles, log):

@@ -248,15 +248,21 @@ def make_train_step(flow, gmm, cfg: FlowConfig, tx,
 def encode(flow, gmm, params, spectral, cfg: FlowConfig, hsd, key):
     """Eval-mode pass returning (bpd, z, gamma) for deployment/validation.
     gamma is upsampled back to the image grid so color statistics and
-    recoloring stay per-pixel regardless of the flow's scale count."""
+    recoloring stay per-pixel regardless of the flow's scale count.
+
+    The flow is fully convolutional (the only size-bound state is the
+    spectral power-iteration vector, unused in eval), so ``hsd`` may be any
+    spatial size divisible by the squeeze factor — e.g. deploying the
+    256-trained capacity checkpoint on 128^2 tiles. bpd and gamma use the
+    input's ACTUAL size, not ``cfg.image_size``."""
     from stainlib_tpu.models.gmm import upsample_gamma
 
+    h, w = hsd.shape[-3], hsd.shape[-2]
     d01 = jnp.clip(hsd[..., 2:3] / 4.0, 1e-4, 1.0 - 1e-4)
     z, delta_logp = flow.apply({"params": params["flow"],
                                 "spectral": spectral}, d01, key)
     logpz, (mu, sigma, gamma) = gmm.apply({"params": params["gmm"]}, z,
                                           hsd[..., :2])
-    bpd = bits_per_dim(logpz, delta_logp,
-                       (cfg.image_size, cfg.image_size, 1), cfg.nvals)
-    gamma = upsample_gamma(gamma, cfg.image_size, cfg.image_size)
+    bpd = bits_per_dim(logpz, delta_logp, (h, w, 1), cfg.nvals)
+    gamma = upsample_gamma(gamma, h, w)
     return bpd, z, gamma

@@ -230,3 +230,28 @@ def test_nmi_per_class_reference_semantics():
     np.testing.assert_allclose(
         sd, np.mean([p[1] for p in per_class]), rtol=1e-12)
     assert cv > 0
+
+
+def test_encode_other_spatial_size():
+    # The flow is fully convolutional: params trained/init'd at
+    # cfg.image_size must encode tiles of a different (squeeze-divisible)
+    # size, with bpd and gamma following the INPUT's size — the capacity
+    # deployment path of scripts/seg_transfer_demo.py --capacity-ckpt.
+    import jax
+    import jax.numpy as jnp
+
+    from stainlib_tpu.models.train_flow import (
+        FlowConfig, encode, init_flow_state)
+
+    cfg = FlowConfig(image_size=16, n_scales=2, blocks_per_scale=1, hidden=8)
+    key = jax.random.PRNGKey(0)
+    flow, gmm, state, _ = init_flow_state(cfg, key)
+    hsd = jnp.stack([
+        jnp.full((8, 8, 3), 0.3, jnp.float32),
+        jnp.full((8, 8, 3), 0.9, jnp.float32),
+    ])  # 8 != cfg.image_size, divisible by the squeeze factor 2
+    bpd, z, gamma = encode(flow, gmm, state.params, state.spectral, cfg,
+                           hsd, key)
+    assert bpd.shape == (2,) and np.isfinite(np.asarray(bpd)).all()
+    assert gamma.shape[:3] == (2, 8, 8)
+    np.testing.assert_allclose(np.asarray(gamma).sum(-1), 1.0, atol=1e-5)
