@@ -40,7 +40,7 @@ LANES = 128
 _NSCALAR = 16
 
 
-def _multi_masked_percentile(searches, n_iters=14):
+def _multi_masked_percentile(searches, n_iters=14, n_cands=1):
     """Several np.percentile(values[mask], q) computations fused into ONE
     bisection loop. Each search spends a SINGLE count-reduction per
     iteration — the VPU-bound inner cost, halved vs the r2 dual rank/rank+1
@@ -67,8 +67,23 @@ def _multi_masked_percentile(searches, n_iters=14):
     ``searches``: list of (values, mask_or_None, n_valid, q, lo_init,
     hi_init); returns one interpolated percentile per entry. Ranks may be
     traced scalars (the tissue count is data-dependent).
+
+    ``n_cands``: interior candidate thresholds counted per round
+    (lane-parallel multi-candidate search). Each round narrows the bracket
+    by a factor ``n_cands + 1``, so the loop runs
+    ``ceil(n_iters / log2(n_cands + 1))`` rounds for the same final
+    bracket as ``n_iters`` binary rounds. More counts per round trade VPU
+    throughput for serial latency: a win only while the chains are
+    latency-bound (few concurrent searches — e.g. one 512^2 tile per grid
+    step); at 4 interleaved 256^2 tiles the chains are already
+    compute-bound and binary (1 bit per count) is information-optimal —
+    see the r4 measured probe in BASELINE.md.
     """
+    import math
+
     BIG = jnp.float32(3.4e38)
+    n_rounds = (n_iters if n_cands == 1
+                else math.ceil(n_iters / math.log2(n_cands + 1)))
     ranks, fracs, operands, los, his = [], [], [], [], []
     cache = {}
     for values, mask, n_valid, q, lo0, hi0 in searches:
@@ -97,13 +112,27 @@ def _multi_masked_percentile(searches, n_iters=14):
     def body(_, state):
         out = []
         for vm, (lo, hi), rank in zip(operands, state, ranks):
-            mid = 0.5 * (lo + hi)
-            cnt = jnp.sum(jnp.where(vm <= mid, 1.0, 0.0))
-            take = cnt > rank  # v_(k) <= mid
-            out.append((jnp.where(take, lo, mid), jnp.where(take, mid, hi)))
+            if n_cands == 1:
+                mid = 0.5 * (lo + hi)
+                cnt = jnp.sum(jnp.where(vm <= mid, 1.0, 0.0))
+                take = cnt > rank  # v_(k) <= mid
+                out.append((jnp.where(take, lo, mid),
+                            jnp.where(take, mid, hi)))
+                continue
+            step = (hi - lo) / jnp.float32(n_cands + 1)
+            new_lo, new_hi = lo, hi
+            # Ascending candidates; take is monotone in j, so the running
+            # selects land on the tightest sub-bracket.
+            for j in range(1, n_cands + 1):
+                mid = lo + step * jnp.float32(j)
+                cnt = jnp.sum(jnp.where(vm <= mid, 1.0, 0.0))
+                take = cnt > rank
+                new_lo = jnp.where(take, new_lo, mid)
+                new_hi = jnp.where(take, jnp.minimum(new_hi, mid), new_hi)
+            out.append((new_lo, new_hi))
         return tuple(out)
 
-    state = jax.lax.fori_loop(0, n_iters, body, tuple(zip(los, his)))
+    state = jax.lax.fori_loop(0, n_rounds, body, tuple(zip(los, his)))
     results = []
     for vm, (_, hi_a), rank, frac in zip(operands, state, ranks, fracs):
         # v_(k) in (lo, hi_a]. v_(k+1) is in the same bracket iff

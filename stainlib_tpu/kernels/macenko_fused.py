@@ -376,7 +376,7 @@ def _lasso2(od0, od1, od2, h, e, lam):
 
 def _apply_kernel(scal_ref, rgb_ref, out_ref, *, q_angle: float,
                   q_conc: float, n_pixels: int, n_bisect: int,
-                  tiles_per_step: int = 1):
+                  tiles_per_step: int = 1, n_cands: int = 1):
     """Full Macenko fit+transform for ``tiles_per_step`` tiles per grid
     step. The per-tile math is completely independent — processing several
     tiles per step exists ONLY so their latency-bound bisection chains and
@@ -402,7 +402,8 @@ def _apply_kernel(scal_ref, rgb_ref, out_ref, *, q_angle: float,
 
     # Phase 2: ALL tiles' angular percentiles in one interleaved loop.
     bounds = _multi_masked_percentile(angle_searches,
-                                      n_iters=max(n_bisect - 4, 8))
+                                      n_iters=max(n_bisect - 4, 8),
+                                      n_cands=n_cands)
 
     # Phase 3 (per tile): stain rows + lasso.
     n_all = jnp.float32(n_pixels)
@@ -422,7 +423,8 @@ def _apply_kernel(scal_ref, rgb_ref, out_ref, *, q_angle: float,
         concs.append((c1, c2))
 
     # Phase 4: all concentration percentiles interleaved.
-    maxcs = _multi_masked_percentile(conc_searches, n_iters=n_bisect)
+    maxcs = _multi_masked_percentile(conc_searches, n_iters=n_bisect,
+                                     n_cands=n_cands)
 
     # Phase 5 (per tile): rescale + Beer-Lambert reconstruction.
     for t, (c1, c2) in enumerate(concs):
@@ -483,7 +485,7 @@ def eigenplane(rgb_planar, luminosity_threshold: float = 0.8,
     jax.jit,
     static_argnames=("luminosity_threshold", "angular_percentile",
                      "q_conc", "regularizer", "n_bisect", "interpret",
-                     "tiles_per_step"),
+                     "tiles_per_step", "n_cands"),
 )
 def macenko_normalize_planar(
     rgb_planar,
@@ -496,6 +498,7 @@ def macenko_normalize_planar(
     n_bisect: int = 14,
     interpret: bool = False,
     tiles_per_step: int = 0,
+    n_cands: int = 1,
 ):
     """Full Macenko fit+transform over planar (B, 3, R, 128) uint8 tiles —
     a SINGLE kernel per tile since r3 (estimation moments, scalar eigh,
@@ -543,7 +546,7 @@ def macenko_normalize_planar(
     return pl.pallas_call(
         functools.partial(_apply_kernel, q_angle=angular_percentile,
                           q_conc=q_conc, n_pixels=R * L, n_bisect=n_bisect,
-                          tiles_per_step=T),
+                          tiles_per_step=T, n_cands=n_cands),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, 3, R, L), jnp.uint8),
         interpret=interpret,

@@ -104,3 +104,21 @@ def test_fused_stain_augment_background_gate():
     top_g = gated[0, :4].astype(int)
     top_u = ungated[0, :4].astype(int)
     assert top_g.mean() > top_u.mean() + 10, (top_g.mean(), top_u.mean())
+
+
+def test_multi_candidate_percentile_matches_binary():
+    """n_cands>1 resolves the same brackets in fewer rounds; outputs must
+    stay within 1 uint8 of the binary-search kernel (the r4 lane-parallel
+    multi-candidate probe — see BASELINE.md for which wins on hardware)."""
+    batch = jnp.asarray(he_batch(2, 32, 64, seed=95))
+    target = he_patch(32, 64, seed=96)
+    params = extractive.fit(jnp.asarray(target), method="macenko")
+    binary = np.asarray(macenko_normalize(
+        batch, params.stain_matrix_target, params.max_c_target,
+        interpret=True))
+    for k in (3, 7):
+        multi = np.asarray(macenko_normalize(
+            batch, params.stain_matrix_target, params.max_c_target,
+            n_cands=k, interpret=True))
+        diff = np.abs(multi.astype(int) - binary.astype(int))
+        assert diff.max() <= 1, (k, diff.max())
