@@ -72,3 +72,30 @@ def test_fused_vahadane_augment_matches_functional():
     diff = np.abs(got.astype(int) - want.astype(int))
     assert (diff <= 1).mean() > 0.99, (diff.max(), (diff > 1).mean())
     assert diff.max() <= 4
+
+
+def test_single_kernel_matches_two_kernel_pipeline():
+    """The r4 single-kernel fit+transform vs the r3 dictionary+apply
+    two-kernel pipeline: same math, same rounding path, within 1 uint8."""
+    from stainlib_tpu.kernels.fused_stain import from_planar, to_planar
+    from stainlib_tpu.kernels.vahadane_fused import (
+        vahadane_normalize_planar, vahadane_normalize_planar_2k)
+
+    target = he_patch(32, 64, seed=98)
+    batch = he_batch(2, 32, 64, seed=99)
+    params = extractive.fit(jnp.asarray(target), method="vahadane")
+    planar = to_planar(jnp.asarray(batch))
+    one = np.asarray(vahadane_normalize_planar(
+        planar, params.stain_matrix_target, params.max_c_target,
+        interpret=True))
+    two = np.asarray(vahadane_normalize_planar_2k(
+        planar, params.stain_matrix_target, params.max_c_target,
+        interpret=True))
+    diff = np.abs(one.astype(int) - two.astype(int))
+    assert diff.max() <= 1, diff.max()
+    # Multi-candidate bisection inside the single kernel: same budget.
+    multi = np.asarray(vahadane_normalize_planar(
+        planar, params.stain_matrix_target, params.max_c_target,
+        n_cands=3, interpret=True))
+    diff = np.abs(multi.astype(int) - one.astype(int))
+    assert diff.max() <= 1, diff.max()
