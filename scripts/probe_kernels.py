@@ -94,6 +94,14 @@ def run(args):
                           max_c_target=pm.max_c_target,
                           tiles_per_step=T, n_cands=nc),
                       big, args.batch)
+        for fs, nb in ((2, 14), (2, 10), (4, 14)):
+            probe(f"macenko 256 fs={fs} nb={nb} (T=2)",
+                  functools.partial(
+                      macenko_normalize_planar,
+                      stain_matrix_tgt=pm.stain_matrix_target,
+                      max_c_target=pm.max_c_target,
+                      n_bisect=nb, fit_stride=fs),
+                  big, args.batch)
 
     if fam in (None, "macenko512"):
         for nc in (1, 3, 7):
@@ -136,6 +144,14 @@ def run(args):
                   stain_matrix_tgt=pv.stain_matrix_target,
                   max_c_target=pv.max_c_target, n_cands=7),
               big, args.batch)
+        for fs, it in ((2, 12), (2, 8), (4, 12)):
+            probe(f"vahadane 256 single-kernel fs={fs} it={it}",
+                  functools.partial(
+                      vahadane_normalize_planar,
+                      stain_matrix_tgt=pv.stain_matrix_target,
+                      max_c_target=pv.max_c_target,
+                      num_iters=it, fit_stride=fs),
+                  big, args.batch)
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)

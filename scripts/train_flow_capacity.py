@@ -45,6 +45,17 @@ def parse_args(argv):
     p.add_argument("--tiles-per-center", type=int, default=8)
     p.add_argument("--template-tiles", type=int, default=0,
                    help="template pool size (0 = max(4*batch, 32))")
+    p.add_argument("--train-centers", default="all",
+                   help="comma list of synthetic centers to TRAIN on, or "
+                        "'all' (default) / '0'. The reference trains its "
+                        "flow on the full multi-lab cohort "
+                        "(train_img_horo.py:292-302 loads every center's "
+                        "loader); template-only training leaves shifted "
+                        "centers out-of-distribution for the GMM "
+                        "responsibilities and breaks per-class transfer "
+                        "(BASELINE.md r4 seg-transfer mechanism)")
+    p.add_argument("--train-pool", type=int, default=0,
+                   help="training tiles per center (0 = template pool size)")
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--out", default="/tmp/flow_capacity")
     p.add_argument("--seed", type=int, default=0)
@@ -87,8 +98,28 @@ def run(args):
     to_hsd = jax.jit(rgb_to_hsd)
     tmpl_hsd = np.asarray(to_hsd(jnp.asarray(tmpl_tiles)))
 
+    # Training pool: the reference's flow sees the FULL multi-lab cohort
+    # (every center's loader feeds training, train_img_horo.py:292-302);
+    # the template center is only the transfer TARGET at deploy time.
+    if args.train_centers.strip() == "all":
+        train_centers = list(range(N_CENTERS))
+    else:
+        train_centers = [int(c) for c in args.train_centers.split(",")]
+    per_center = args.train_pool or n_tmpl
+    if train_centers == [0]:
+        train_hsd = tmpl_hsd
+    else:
+        pools = []
+        for c in train_centers:
+            pools.append(tmpl_tiles if c == 0 else center_tiles(
+                c, per_center, s, s, seed=args.seed + 100 + 7 * c))
+        train_hsd = np.concatenate(
+            [np.asarray(to_hsd(jnp.asarray(t))) for t in pools])
+    print(f"training pool: {len(train_hsd)} tiles from centers "
+          f"{train_centers}", flush=True)
+
     flow, gmm, state, tx = init_flow_state(
-        cfg, jax.random.PRNGKey(args.seed), sample_hsd=tmpl_hsd[: args.batch]
+        cfg, jax.random.PRNGKey(args.seed), sample_hsd=train_hsd[: args.batch]
     )
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree.leaves(state.params))
@@ -98,8 +129,8 @@ def run(args):
     rng = np.random.default_rng(args.seed)
 
     def batch_at(i):
-        sel = rng.integers(0, n_tmpl, args.batch)
-        return jnp.asarray(tmpl_hsd[sel])
+        sel = rng.integers(0, len(train_hsd), args.batch)
+        return jnp.asarray(train_hsd[sel])
 
     ckdir = os.path.join(args.out, "ckpt")
     start = 0

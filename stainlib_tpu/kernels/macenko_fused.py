@@ -374,30 +374,73 @@ def _lasso2(od0, od1, od2, h, e, lam):
     return c1, c2
 
 
+def _stride_rows(x, stride: int):
+    """A 1/``stride`` stratified row sample of a (R, L) plane: up to 8
+    evenly spaced CONTIGUOUS row blocks. Mosaic cannot lower a strided
+    gather, and a (R/s, s, L) reshape pads the size-s middle dim to the
+    8-sublane tile (4x memory at s=2 — measured VMEM OOM); static
+    sublane-aligned slices + one concatenate stay at exactly R/s rows."""
+    if stride <= 1:
+        return x
+    r, _ = x.shape
+    assert r % stride == 0, (r, stride)
+    n = r // stride
+    if n < 64:
+        # Fewer than 8 blocks of 8 rows: the stratification is too coarse
+        # to bound the estimation shift (measured max 19 u8 on 64^2 tiles
+        # with 2 blocks). Small planes keep the full-resolution fit — their
+        # fit cost is negligible anyway.
+        return x
+    # One block per 8-row sublane tile of the sample: the finest
+    # stratification whose slices stay tile-aligned (bs = 8). Measured at
+    # 256^2/fs=2: 8 coarse blocks moved 2.3% of Macenko pixels by >1 u8;
+    # 32 tile-aligned blocks sample every 16th image row instead.
+    bs = 8
+    blocks = min(max(n // bs, 1), 32)  # cap the concatenate fan-in
+    while blocks > 1 and (n % blocks or (r // blocks) % 8):
+        blocks //= 2
+    bs, step = n // blocks, r // blocks
+    return jnp.concatenate([x[i * step: i * step + bs]
+                            for i in range(blocks)])
+
+
 def _apply_kernel(scal_ref, rgb_ref, out_ref, *, q_angle: float,
                   q_conc: float, n_pixels: int, n_bisect: int,
-                  tiles_per_step: int = 1, n_cands: int = 1):
+                  tiles_per_step: int = 1, n_cands: int = 1,
+                  fit_stride: int = 1):
     """Full Macenko fit+transform for ``tiles_per_step`` tiles per grid
     step. The per-tile math is completely independent — processing several
     tiles per step exists ONLY so their latency-bound bisection chains and
     moment reductions interleave on the VPU (measured r3: the first
     count-chain costs ~0.12 us/count, each additional independent chain
     ~0.02-0.04 — reduction latency, not throughput, is the bound). Results
-    are bitwise identical for any tiles_per_step."""
+    are bitwise identical for any tiles_per_step.
+
+    ``fit_stride``: row stride for the ESTIMATION statistics (moments,
+    eigenplane, angle + concentration percentiles). The apply path (lasso,
+    rescale, reconstruction) always runs on every pixel. At T=4 the
+    percentile chains are VPU-throughput-bound (r4 probe, BASELINE.md), so
+    estimating on every ``fit_stride``-th row cuts the fit-phase count
+    cost proportionally; statistics over >=16k pixels move the estimate by
+    less than the tile-to-tile sampling noise of the estimator itself.
+    fit_stride=1 reproduces the r3 kernel bit-exactly."""
     base = pl.program_id(0) * tiles_per_step
 
     def sc(t, i):
         return scal_ref[base + t, i]
+
+    sub = functools.partial(_stride_rows, stride=fit_stride)
 
     # Phase 1 (per tile): OD + mask -> moments -> scalar eigh -> angles.
     tiles = []
     angle_searches = []
     for t in range(tiles_per_step):
         od0, od1, od2, mask = _od_and_mask(rgb_ref[t], sc(t, 9))
-        stats = _od_moments(od0, od1, od2, mask.astype(jnp.float32))
+        od0f, od1f, od2f, maskf = sub(od0), sub(od1), sub(od2), sub(mask)
+        stats = _od_moments(od0f, od1f, od2f, maskf.astype(jnp.float32))
         v = _eigenplane_scalars(stats)
         angle_searches += _angle_searches(
-            _pseudo_angle(od0, od1, od2, v), mask, stats[0], q_angle)
+            _pseudo_angle(od0f, od1f, od2f, v), maskf, stats[0], q_angle)
         tiles.append((od0, od1, od2, v))
 
     # Phase 2: ALL tiles' angular percentiles in one interleaved loop.
@@ -406,7 +449,6 @@ def _apply_kernel(scal_ref, rgb_ref, out_ref, *, q_angle: float,
                                       n_cands=n_cands)
 
     # Phase 3 (per tile): stain rows + lasso.
-    n_all = jnp.float32(n_pixels)
     conc_searches = []
     concs = []
     for t, (od0, od1, od2, v) in enumerate(tiles):
@@ -415,10 +457,13 @@ def _apply_kernel(scal_ref, rgb_ref, out_ref, *, q_angle: float,
         c1, c2 = _lasso2(od0, od1, od2, (h0, h1, h2), (e0, e1, e2),
                          sc(t, 8))
         # 99th-pct per stain over ALL pixels (normalizer.py:46-48: the
-        # rescale uses unmasked concentrations).
+        # rescale uses unmasked concentrations; under fit_stride the
+        # percentile is over the estimation rows).
+        c1f, c2f = sub(c1), sub(c2)
+        n_fit = jnp.float32(c1f.shape[0] * c1f.shape[1])
         conc_searches += [
-            (c1, None, n_all, q_conc, jnp.float32(0.0), jnp.max(c1)),
-            (c2, None, n_all, q_conc, jnp.float32(0.0), jnp.max(c2)),
+            (c1f, None, n_fit, q_conc, jnp.float32(0.0), jnp.max(c1f)),
+            (c2f, None, n_fit, q_conc, jnp.float32(0.0), jnp.max(c2f)),
         ]
         concs.append((c1, c2))
 
@@ -485,7 +530,7 @@ def eigenplane(rgb_planar, luminosity_threshold: float = 0.8,
     jax.jit,
     static_argnames=("luminosity_threshold", "angular_percentile",
                      "q_conc", "regularizer", "n_bisect", "interpret",
-                     "tiles_per_step", "n_cands"),
+                     "tiles_per_step", "n_cands", "fit_stride"),
 )
 def macenko_normalize_planar(
     rgb_planar,
@@ -499,6 +544,7 @@ def macenko_normalize_planar(
     interpret: bool = False,
     tiles_per_step: int = 0,
     n_cands: int = 1,
+    fit_stride: int = 1,
 ):
     """Full Macenko fit+transform over planar (B, 3, R, 128) uint8 tiles —
     a SINGLE kernel per tile since r3 (estimation moments, scalar eigh,
@@ -529,8 +575,10 @@ def macenko_normalize_planar(
         # against the 16 MB scoped-VMEM limit: 4 x 256^2 fits (measured
         # 13.9 MB), 8 x 256^2 OOMs at 17 MB — so the budget is the T with
         # T * R * L <= 4 * 256^2 (1 at 512^2, which is exactly the 4x256^2
-        # footprint).
-        budget = max((256 * 256 * 4) // (R * L), 1)
+        # footprint). fit_stride > 1 adds the subsampled estimation planes
+        # to the live set (measured 20.45 MB at T=4/fs=2): halve T.
+        cap = 4 if fit_stride == 1 else 2
+        budget = max((256 * 256 * cap) // (R * L), 1)
         tiles_per_step = next(t for t in (4, 2, 1)
                               if t <= budget and B % t == 0)
     assert B % tiles_per_step == 0, (B, tiles_per_step)
@@ -546,7 +594,8 @@ def macenko_normalize_planar(
     return pl.pallas_call(
         functools.partial(_apply_kernel, q_angle=angular_percentile,
                           q_conc=q_conc, n_pixels=R * L, n_bisect=n_bisect,
-                          tiles_per_step=T, n_cands=n_cands),
+                          tiles_per_step=T, n_cands=n_cands,
+                          fit_stride=fit_stride),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, 3, R, L), jnp.uint8),
         interpret=interpret,

@@ -39,6 +39,7 @@ from stainlib_tpu.kernels.macenko_fused import (
     _macenko_vectors,
     _od_and_mask,
     _od_moments,
+    _stride_rows,
 )
 
 LANES = 128
@@ -46,15 +47,20 @@ LANES = 128
 
 def _dict_kernel(rgb_ref, out_ref, *, regularizer: float,
                  num_iters: int, luminosity_threshold: float,
-                 n_bisect: int, tiles_per_step: int = 1):
+                 n_bisect: int, tiles_per_step: int = 1,
+                 fit_stride: int = 1):
     """``tiles_per_step`` tiles per grid step: each BCD iteration carries
     nine latency-bound sufficient-statistic reductions, so interleaving
     several tiles' (independent, bitwise-identical) chains recovers the
     same ILP win as the Macenko kernel (see
-    ``fused_stain._multi_masked_percentile``)."""
+    ``fused_stain._multi_masked_percentile``). ``fit_stride``: estimation
+    row stride (see ``_vahadane_full_kernel``); the whole kernel IS the
+    fit, so every stage subsamples."""
     from stainlib_tpu.kernels.macenko_fused import (
         _angle_searches, _pseudo_angle, _stain_rows_from_bounds)
     from stainlib_tpu.kernels.fused_stain import _multi_masked_percentile
+
+    sub = functools.partial(_stride_rows, stride=fit_stride)
 
     # Phase 1 (per tile): OD/mask -> moments -> eigh -> pseudo-angles for
     # the Macenko warm start (in-kernel since r3; it sits ~1e-2 from the
@@ -64,6 +70,7 @@ def _dict_kernel(rgb_ref, out_ref, *, regularizer: float,
     angle_searches = []
     for t in range(tiles_per_step):
         od0, od1, od2, mask = _od_and_mask(rgb_ref[t], luminosity_threshold)
+        od0, od1, od2, mask = sub(od0), sub(od1), sub(od2), sub(mask)
         m = mask.astype(jnp.float32)
         stats = _od_moments(od0, od1, od2, m)
         v = _eigenplane_scalars(stats)
@@ -105,7 +112,8 @@ def _vahadane_full_kernel(scal_ref, rgb_ref, out_ref, *,
                           regularizer_fit: float, regularizer: float,
                           num_iters: int, luminosity_threshold: float,
                           n_bisect: int, q_conc: float, n_pixels: int,
-                          tiles_per_step: int = 1, n_cands: int = 1):
+                          tiles_per_step: int = 1, n_cands: int = 1,
+                          fit_stride: int = 1):
     """Complete Vahadane fit+transform in ONE kernel: warm start + BCD
     dictionary (as ``_dict_kernel``) and then — on the same VMEM-resident
     tile — H-first ordering, row normalization, the apply lasso, the
@@ -113,36 +121,48 @@ def _vahadane_full_kernel(scal_ref, rgb_ref, out_ref, *,
     the target rows. One uint8 HBM read, one uint8 write; the r3 two-kernel
     pipeline paid a second read plus XLA glue between the kernels.
 
+    ``fit_stride``: row stride for the FIT phase (warm start + BCD +
+    concentration percentile). The reference's dictionary learner itself
+    estimates from pixel batches, not the full image (spams.trainDL
+    mini-batches, ``vahadane_stain_extractor.py:19-43``), so a strided
+    estimation sample is faithful to the algorithm; the apply lasso and
+    reconstruction always run on every pixel. fit_stride=1 reproduces the
+    r3 kernels bit-exactly.
+
     scal layout per tile: [0:6] target rows, [6:8] maxC_target."""
     from stainlib_tpu.kernels.fused_stain import _multi_masked_percentile
     from stainlib_tpu.kernels.macenko_fused import (
         _angle_searches, _lasso2, _pseudo_angle, _stain_rows_from_bounds)
 
     base = pl.program_id(0) * tiles_per_step
+    sub = functools.partial(_stride_rows, stride=fit_stride)
 
     # Phase 1: warm start per tile (OD/mask -> moments -> eigh -> angles).
     tiles = []
     angle_searches = []
     for t in range(tiles_per_step):
         od0, od1, od2, mask = _od_and_mask(rgb_ref[t], luminosity_threshold)
-        m = mask.astype(jnp.float32)
-        stats = _od_moments(od0, od1, od2, m)
+        od0f, od1f, od2f, maskf = sub(od0), sub(od1), sub(od2), sub(mask)
+        mf = maskf.astype(jnp.float32)
+        stats = _od_moments(od0f, od1f, od2f, mf)
         v = _eigenplane_scalars(stats)
         angle_searches += _angle_searches(
-            _pseudo_angle(od0, od1, od2, v), mask, stats[0], 99.0)
-        tiles.append((od0, od1, od2, m, v))
+            _pseudo_angle(od0f, od1f, od2f, v), maskf, stats[0], 99.0)
+        tiles.append((od0, od1, od2, od0f, od1f, od2f, mf, v))
     bounds = _multi_masked_percentile(
         angle_searches, n_iters=max(n_bisect - 4, 8), n_cands=n_cands)
     d_inits = [
         _stain_rows_from_bounds(v, bounds[2 * t], bounds[2 * t + 1])
-        for t, (_, _, _, _, v) in enumerate(tiles)
+        for t, tile in enumerate(tiles)
+        for v in (tile[7],)
     ]
 
-    # Phase 2: BCD alternations (identical math to _dict_kernel).
+    # Phase 2: BCD alternations (identical math to _dict_kernel) on the
+    # estimation rows.
     def body(_, Ds):
         return tuple(
-            _bcd_iteration(D, od0, od1, od2, m, regularizer_fit)
-            for D, (od0, od1, od2, m, _) in zip(Ds, tiles)
+            _bcd_iteration(D, od0f, od1f, od2f, mf, regularizer_fit)
+            for D, (_, _, _, od0f, od1f, od2f, mf, _) in zip(Ds, tiles)
         )
 
     Ds = jax.lax.fori_loop(0, num_iters, body, tuple(d_inits))
@@ -150,10 +170,9 @@ def _vahadane_full_kernel(scal_ref, rgb_ref, out_ref, *,
     # Phase 3: finalize rows exactly like the XLA post-pass of
     # vahadane_stain_matrix_planar: H-first swap on the UNNORMALIZED red
     # components, then row normalization.
-    n_all = jnp.float32(n_pixels)
     conc_searches = []
     concs = []
-    for t, (D, (od0, od1, od2, m, _)) in enumerate(zip(Ds, tiles)):
+    for t, (D, (od0, od1, od2, _, _, _, _, _)) in enumerate(zip(Ds, tiles)):
         d00, d01, d02, d10, d11, d12 = D
         swap = d00 < d10
         h0 = jnp.where(swap, d10, d00)
@@ -170,9 +189,11 @@ def _vahadane_full_kernel(scal_ref, rgb_ref, out_ref, *,
         e0, e1, e2 = e0 * en, e1 * en, e2 * en
         c1, c2 = _lasso2(od0, od1, od2, (h0, h1, h2), (e0, e1, e2),
                          jnp.float32(regularizer))
+        c1f, c2f = sub(c1), sub(c2)
+        n_fit = jnp.float32(c1f.shape[0] * c1f.shape[1])
         conc_searches += [
-            (c1, None, n_all, q_conc, jnp.float32(0.0), jnp.max(c1)),
-            (c2, None, n_all, q_conc, jnp.float32(0.0), jnp.max(c2)),
+            (c1f, None, n_fit, q_conc, jnp.float32(0.0), jnp.max(c1f)),
+            (c2f, None, n_fit, q_conc, jnp.float32(0.0), jnp.max(c2f)),
         ]
         concs.append((c1, c2))
 
@@ -260,7 +281,7 @@ def _bcd_iteration(D, od0, od1, od2, m, regularizer: float):
 @functools.partial(
     jax.jit,
     static_argnames=("regularizer", "num_iters", "luminosity_threshold",
-                     "n_bisect", "interpret"),
+                     "n_bisect", "interpret", "fit_stride"),
 )
 def vahadane_stain_matrix_planar(
     rgb_planar,
@@ -269,6 +290,7 @@ def vahadane_stain_matrix_planar(
     luminosity_threshold: float = 0.8,
     n_bisect: int = 14,
     interpret: bool = False,
+    fit_stride: int = 1,
 ):
     """Per-tile 2x3 Vahadane stain matrices from planar uint8 tiles.
 
@@ -289,7 +311,7 @@ def vahadane_stain_matrix_planar(
         functools.partial(
             _dict_kernel, regularizer=regularizer, num_iters=num_iters,
             luminosity_threshold=luminosity_threshold, n_bisect=n_bisect,
-            tiles_per_step=T,
+            tiles_per_step=T, fit_stride=fit_stride,
         ),
         grid=(B // T,),
         in_specs=[pl.BlockSpec((T, 3, R, L), lambda i: (i, 0, 0, 0),
@@ -314,7 +336,8 @@ def vahadane_stain_matrix_planar(
     jax.jit,
     static_argnames=("regularizer_fit", "regularizer", "num_iters",
                      "luminosity_threshold", "n_bisect", "q_conc",
-                     "interpret", "tiles_per_step", "n_cands"),
+                     "interpret", "tiles_per_step", "n_cands",
+                     "fit_stride"),
 )
 def vahadane_normalize_planar(rgb_planar, stain_matrix_tgt, max_c_target,
                               regularizer_fit: float = 0.1,
@@ -325,7 +348,8 @@ def vahadane_normalize_planar(rgb_planar, stain_matrix_tgt, max_c_target,
                               q_conc: float = 99.0,
                               interpret: bool = False,
                               tiles_per_step: int = 0,
-                              n_cands: int = 1):
+                              n_cands: int = 1,
+                              fit_stride: int = 1):
     """Full Vahadane fit+transform as a SINGLE kernel per tile (r4): warm
     start, BCD dictionary, apply lasso, concentration rescale and
     reconstruction all on one VMEM-resident copy — one uint8 read, one
@@ -345,8 +369,11 @@ def vahadane_normalize_planar(rgb_planar, stain_matrix_tgt, max_c_target,
 
     if tiles_per_step <= 0:
         # The BCD live set (OD x3 + mask + lasso temps per tile) budgets
-        # T like the dictionary kernel: 2 x 256^2 per grid step.
-        budget = max((256 * 256 * 2) // (R * L), 1)
+        # T like the dictionary kernel: 2 x 256^2 per grid step; the
+        # subsampled estimation planes of fit_stride > 1 add ~1.5 MB per
+        # 256^2 tile (measured 17.55 MB OOM at T=2/fs=2): single tile.
+        cap = 2 if fit_stride == 1 else 1
+        budget = max((256 * 256 * cap) // (R * L), 1)
         tiles_per_step = next(t for t in (2, 1)
                               if t <= budget and B % t == 0)
     assert B % tiles_per_step == 0, (B, tiles_per_step)
@@ -365,7 +392,7 @@ def vahadane_normalize_planar(rgb_planar, stain_matrix_tgt, max_c_target,
             regularizer=regularizer, num_iters=num_iters,
             luminosity_threshold=luminosity_threshold, n_bisect=n_bisect,
             q_conc=q_conc, n_pixels=R * L, tiles_per_step=T,
-            n_cands=n_cands),
+            n_cands=n_cands, fit_stride=fit_stride),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, 3, R, L), jnp.uint8),
         interpret=interpret,

@@ -99,3 +99,26 @@ def test_single_kernel_matches_two_kernel_pipeline():
         n_cands=3, interpret=True))
     diff = np.abs(multi.astype(int) - one.astype(int))
     assert diff.max() <= 1, diff.max()
+
+
+def test_vahadane_fit_stride_subsample():
+    """fit_stride=2 runs the warm start + BCD on the stratified estimation
+    sample (the reference's trainDL itself fits from pixel mini-batches,
+    vahadane_stain_extractor.py:19-43); the apply stays full-res and the
+    output stays within the fused budget of the functional path."""
+    import numpy as np
+
+    from stainlib_tpu.kernels.vahadane_fused import vahadane_normalize
+    from tests.synth import he_batch, he_patch
+
+    target = he_patch(128, 128, seed=70)
+    batch = he_batch(2, 128, 128, seed=71)
+    params = extractive.fit(jnp.asarray(target), method="vahadane")
+    want = np.asarray(
+        extractive.transform(params, jnp.asarray(batch), method="vahadane"))
+    got = np.asarray(vahadane_normalize(
+        jnp.asarray(batch), params.stain_matrix_target,
+        params.max_c_target, interpret=True, fit_stride=2))
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert (diff <= 3).mean() > 0.99, (diff.max(), (diff > 3).mean())
+    assert diff.max() <= 5
