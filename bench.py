@@ -690,15 +690,20 @@ def main():
 
     def step_full_fused(x):
         # Everything (estimation + lasso + percentiles + reconstruction) in
-        # two/three Pallas kernels; see kernels/{macenko,vahadane}_fused.py.
+        # ONE Pallas kernel; see kernels/{macenko,vahadane}_fused.py. The
+        # estimation statistics run on the fit_stride=2 stratified row
+        # sample with a truncated percentile depth / BCD budget — measured
+        # max 1 uint8 diff, 0% of pixels >1, vs the full-resolution
+        # functional path at 256^2 (BASELINE.md r4 "estimation subsample");
+        # validate_tpu.py re-checks that budget every run.
         if CONFIG == "vahadane":
             return vahadane_normalize_planar(
                 x, params.stain_matrix_target, params.max_c_target,
-                interpret=not on_tpu,
+                interpret=not on_tpu, fit_stride=2, num_iters=8,
             )
         return macenko_normalize_planar(
             x, params.stain_matrix_target, params.max_c_target,
-            interpret=not on_tpu,
+            interpret=not on_tpu, fit_stride=2, n_bisect=10,
         )
 
     def step_fused(x):

@@ -97,6 +97,18 @@ def main():
            reinhard_normalize(batch, pr.means, pr.stds),
            reinhard.transform(pr, batch))
 
+    # The bench.py fast estimation configs (fit_stride=2 stratified sample,
+    # truncated percentile depth / BCD budget): the bench headline's
+    # fidelity gate. Measured r4: max 1 u8, frac>1 = 0 at 256^2.
+    report("macenko-fast (fs=2 nb=10)",
+           macenko_normalize(batch, pm.stain_matrix_target, pm.max_c_target,
+                             fit_stride=2, n_bisect=10),
+           extractive.transform(pm, batch, method="macenko"))
+    report("vahadane-fast (fs=2 it=8)",
+           vahadane_normalize(batch, pv.stain_matrix_target, pv.max_c_target,
+                              fit_stride=2, num_iters=8),
+           extractive.transform(pv, batch, method="vahadane"))
+
     # Throughput at 256x256 (dependent-chain marginal cost — the relay
     # defeats naive timing; see bench.chain_tps / BASELINE.md).
     from bench import chain_tps
@@ -121,8 +133,14 @@ def main():
     for name, fn in [
         ("macenko", lambda x: macenko_normalize_planar(
             x, pm.stain_matrix_target, pm.max_c_target)),
+        ("macenko-fast", lambda x: macenko_normalize_planar(
+            x, pm.stain_matrix_target, pm.max_c_target,
+            fit_stride=2, n_bisect=10)),
         ("vahadane", lambda x: vahadane_normalize_planar(
             x, pv.stain_matrix_target, pv.max_c_target)),
+        ("vahadane-fast", lambda x: vahadane_normalize_planar(
+            x, pv.stain_matrix_target, pv.max_c_target,
+            fit_stride=2, num_iters=8)),
         ("reinhard", lambda x: reinhard_normalize_planar(
             x, pr.means, pr.stds)),
         ("vahadane-pop (fit-once)", pop_step),
