@@ -46,6 +46,12 @@ def main(argv=None) -> int:
                          "default is the reference's --ema-val swap "
                          "(train_img_horo.py:668-669), which transfers "
                          "measurably better at converged checkpoints")
+    ap.add_argument("--class-match", action="store_true",
+                    help="rank-match the slide's GMM classes to the "
+                         "template's by usage share before the transfer "
+                         "(robust to the OOD class permutation measured in "
+                         "BASELINE.md r4); default = the reference's k->k "
+                         "mapping")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -72,7 +78,8 @@ def main(argv=None) -> int:
         args.src, args.out, args.ckpt, template=args.template,
         batch=args.batch, level=args.level, n_src_tiles=args.src_tiles,
         seed=args.seed, compression=args.compression, quality=args.quality,
-        progress=progress, use_ema=not args.raw_weights)
+        progress=progress, use_ema=not args.raw_weights,
+        class_match=args.class_match)
     dt = time.time() - t0
     print(f"{info['width']}x{info['height']} ({info['tiles']} tiles, "
           f"{info['levels']} levels) -> {args.out}")

@@ -55,6 +55,11 @@ def parse_args(argv):
     p.add_argument("--capacity-step", type=int, default=None,
                    help="with --capacity-ckpt: restore this saved step "
                         "instead of most-recent")
+    p.add_argument("--class-match", action="store_true",
+                   help="rank-match GMM classes to the template's by usage "
+                        "share before the per-class transfer (robust to the "
+                        "class permutation measured on OOD centers, "
+                        "BASELINE.md r4); off = the reference's k->k mapping")
     p.add_argument("--out", default="/tmp/seg_transfer")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
@@ -139,18 +144,22 @@ def _capacity_flow_recolor(args, tmpl_tiles, log):
     tmpl_hsd = np.asarray(to_hsd(jnp.asarray(tmpl_tiles)))
     key = jax.random.PRNGKey(args.seed + 1)
     k_t, key = jax.random.split(key)
-    mu_t, sd_t = accumulate_template_stats(
+    mu_t, sd_t, usage_t = accumulate_template_stats(
         flow, gmm, cfg, params, spectral,
         [tmpl_hsd[i:i + args.batch]
-         for i in range(0, len(tmpl_hsd), args.batch)], k_t)
+         for i in range(0, len(tmpl_hsd), args.batch)], k_t,
+        return_usage=True)
 
     @jax.jit
     def recolor(batch_u8, k):
         hsd = rgb_to_hsd(batch_u8)
         _, _, gamma = encode(flow, gmm, params, spectral, cfg, hsd, k)
         mu_s, sd_s = color_eval.class_color_stats(hsd, gamma)
+        perm = (color_eval.match_classes_by_usage(
+                    color_eval.class_usage(gamma), usage_t)
+                if args.class_match else None)
         return color_eval.image_dist_transform(
-            hsd, gamma, mu_s, sd_s, mu_t, sd_t)
+            hsd, gamma, mu_s, sd_s, mu_t, sd_t, perm=perm)
 
     counter = [0]
 
@@ -198,18 +207,22 @@ def _train_flow_recolor(args, tmpl_tiles, log):
     params, spectral = state.params, state.spectral
     key = jax.random.PRNGKey(args.seed + 1)
     k_t, key = jax.random.split(key)
-    mu_t, sd_t = accumulate_template_stats(
+    mu_t, sd_t, usage_t = accumulate_template_stats(
         flow, gmm, cfg, params, spectral,
         [tmpl_hsd[i:i + args.batch]
-         for i in range(0, len(tmpl_hsd), args.batch)], k_t)
+         for i in range(0, len(tmpl_hsd), args.batch)], k_t,
+        return_usage=True)
 
     @jax.jit
     def recolor(batch_u8, k):
         hsd = rgb_to_hsd(batch_u8)
         _, _, gamma = encode(flow, gmm, params, spectral, cfg, hsd, k)
         mu_s, sd_s = color_eval.class_color_stats(hsd, gamma)
+        perm = (color_eval.match_classes_by_usage(
+                    color_eval.class_usage(gamma), usage_t)
+                if args.class_match else None)
         return color_eval.image_dist_transform(
-            hsd, gamma, mu_s, sd_s, mu_t, sd_t)
+            hsd, gamma, mu_s, sd_s, mu_t, sd_t, perm=perm)
 
     counter = [0]
 

@@ -63,6 +63,10 @@ def parse_args(argv):
     p.add_argument("--ema-val", action="store_true",
                    help="validate with EMA parameters (the reference's "
                         "--ema-val swap, train_img_horo.py:668-669)")
+    p.add_argument("--class-match", action="store_true",
+                   help="usage-rank class matching at deploy (robust to the "
+                        "OOD class permutation, BASELINE.md r4); default = "
+                        "the reference's k->k mapping")
     p.add_argument("--cpu", action="store_true")
     return p.parse_args(argv)
 
@@ -219,7 +223,8 @@ def run(args):
             flow, gmm, cfg, eval_params, restored.spectral,
             [tmpl_hsd[i: i + args.batch]
              for i in range(0, n_tmpl, args.batch)],
-            test_hsd, jax.random.PRNGKey(args.seed + 1), out_dir=args.out)
+            test_hsd, jax.random.PRNGKey(args.seed + 1), out_dir=args.out,
+            class_match=args.class_match)
         summary.update({
             "raw_nmi_sd": round(raw_sd, 4), "raw_nmi_cv": round(raw_cv, 4),
             "normalized_nmi_sd": round(res["nmi_sd"], 4),

@@ -38,19 +38,54 @@ def class_color_stats(hsd, gamma, eps: float = 1e-6):
     return mu, sigma
 
 
-def image_dist_transform(hsd, gamma, mu_src, sigma_src, mu_tmpl, sigma_tmpl):
+def image_dist_transform(hsd, gamma, mu_src, sigma_src, mu_tmpl, sigma_tmpl,
+                         perm=None):
     """Per-class distribution transfer in HSD, responsibility-weighted.
 
     out = sum_k gamma_k * ((x - mu_src_k) / sigma_src_k * sigma_tmpl_k
                             + mu_tmpl_k)
 
     Returns uint8 RGB (the deployment output at ``train_img_horo.py:815``).
+
+    ``perm`` (optional, (K,) int): source class k takes the TEMPLATE class
+    ``perm[k]``'s statistics instead of class k's. The reference maps k -> k
+    unconditionally (``train_img_horo.py:815,1015``), which breaks when the
+    GMM's class labelling permutes on out-of-distribution centers (measured
+    in BASELINE.md r4 "Segmentation transfer"); pass the output of
+    :func:`match_classes_by_usage` to deploy permutation-robustly.
     """
+    if perm is not None:
+        mu_tmpl = jnp.asarray(mu_tmpl)[perm]
+        sigma_tmpl = jnp.asarray(sigma_tmpl)[perm]
     x = jnp.asarray(hsd, jnp.float32)[..., None, :]  # (B,H,W,1,3)
     norm = (x - mu_src) / jnp.maximum(sigma_src, 1e-6)
     mapped = norm * sigma_tmpl + mu_tmpl  # (B,H,W,K,3)
     out = jnp.einsum("bhwk,bhwkc->bhwc", jnp.asarray(gamma, jnp.float32), mapped)
     return to_uint8(hsd_to_rgb(out))
+
+
+def class_usage(gamma):
+    """Mean responsibility share per class: (..., K) -> (K,), sums to 1.
+    The histogram whose permutation across centers is the measured
+    seg-transfer failure mechanism (BASELINE.md r4)."""
+    g = jnp.asarray(gamma, jnp.float32)
+    u = jnp.mean(g.reshape(-1, g.shape[-1]), axis=0)
+    return u / jnp.maximum(jnp.sum(u), 1e-12)
+
+
+def match_classes_by_usage(usage_src, usage_tmpl):
+    """Rank-match source GMM classes to template classes by usage share.
+
+    Returns ``perm`` (K,) int32 with ``perm[k]`` = the template class whose
+    usage RANK equals source class k's rank (dominant source tissue maps to
+    dominant template tissue, and so on). Identity whenever the two usage
+    orderings agree — i.e. a no-op exactly when the reference's k -> k
+    mapping is already class-correct. jit-friendly (argsort + scatter).
+    """
+    order_src = jnp.argsort(-jnp.asarray(usage_src))   # ranks -> src class
+    order_tmpl = jnp.argsort(-jnp.asarray(usage_tmpl))  # ranks -> tmpl class
+    perm = jnp.zeros(order_src.shape[0], jnp.int32)
+    return perm.at[order_src].set(order_tmpl.astype(jnp.int32))
 
 
 def nmi(rgb, mask):

@@ -35,9 +35,12 @@ from stainlib_tpu.utils.meters import Throughput
 
 
 def accumulate_template_stats(flow, gmm, cfg: FlowConfig, params, spectral,
-                              template_batches: Iterable, key):
+                              template_batches: Iterable, key,
+                              return_usage: bool = False):
     """Running-mean template statistics over all template batches
-    (``train_img_horo.py:676-727``): returns (mu, sigma) of shape (K, 3)."""
+    (``train_img_horo.py:676-727``): returns (mu, sigma) of shape (K, 3);
+    with ``return_usage`` also the (K,) class-usage shares (for
+    :func:`color_eval.match_classes_by_usage`)."""
     sum_w = None
     sum_x = None
     sum_xx = None
@@ -54,7 +57,10 @@ def accumulate_template_stats(flow, gmm, cfg: FlowConfig, params, spectral,
         sum_w = w if sum_w is None else sum_w + w
         sum_x = x if sum_x is None else sum_x + x
         sum_xx = xx if sum_xx is None else sum_xx + xx
-    return finalize_template_stats(sum_w, sum_x, sum_xx)
+    mu, sigma = finalize_template_stats(sum_w, sum_x, sum_xx)
+    if return_usage:
+        return mu, sigma, sum_w / jnp.maximum(jnp.sum(sum_w), 1e-12)
+    return mu, sigma
 
 
 def finalize_template_stats(sum_w, sum_x, sum_xx, eps: float = 1e-6):
@@ -67,7 +73,7 @@ def finalize_template_stats(sum_w, sum_x, sum_xx, eps: float = 1e-6):
 
 
 def deploy(flow, gmm, cfg: FlowConfig, params, spectral, test_batches,
-           mu_tmpl, sigma_tmpl, key, log=print):
+           mu_tmpl, sigma_tmpl, key, log=print, usage_tmpl=None):
     """DEPLOY pass: recolor every test batch toward the template and collect
     per-image NMI of the recolored output (``train_img_horo.py:750-862``).
 
@@ -76,6 +82,12 @@ def deploy(flow, gmm, cfg: FlowConfig, params, spectral, test_batches,
     (:func:`color_eval.nmi_per_class`, shape (N, K)) for the recolored
     output and the un-recolored input. imgs/sec printed per batch (the
     reference's throughput print at ``:862``).
+
+    ``usage_tmpl`` (optional, (K,)): template class-usage shares. When given,
+    each batch's classes are rank-matched to the template's by usage before
+    the transfer (:func:`color_eval.match_classes_by_usage`) — robust to the
+    GMM class permutation measured on out-of-distribution centers; omit for
+    the reference's unconditional k -> k mapping.
     """
     enc = jax.jit(
         lambda hsd, k: encode(flow, gmm, params, spectral, cfg, hsd, k)
@@ -93,8 +105,11 @@ def deploy(flow, gmm, cfg: FlowConfig, params, spectral, test_batches,
         # GMM head returns ONE (mu, std) per deploy batch
         # (train_img_horo.py:703-705, applied at :815).
         mu_s, sd_s = color_eval.class_color_stats(hsd, gamma)
+        perm = (color_eval.match_classes_by_usage(
+                    color_eval.class_usage(gamma), usage_tmpl)
+                if usage_tmpl is not None else None)
         rgb = color_eval.image_dist_transform(
-            hsd, gamma, mu_s, sd_s, mu_tmpl, sigma_tmpl
+            hsd, gamma, mu_s, sd_s, mu_tmpl, sigma_tmpl, perm=perm
         )
         mask = tissue_mask(rgb).mask
         for i in range(rgb.shape[0]):
@@ -114,15 +129,20 @@ def deploy(flow, gmm, cfg: FlowConfig, params, spectral, test_batches,
 
 def validate(flow, gmm, cfg: FlowConfig, params, spectral,
              template_batches, test_batches, key,
-             out_dir: Optional[str] = None, log=print):
-    """Full validate(): template stats -> deploy -> NMI SD/CV (+ CSV)."""
+             out_dir: Optional[str] = None, log=print,
+             class_match: bool = False):
+    """Full validate(): template stats -> deploy -> NMI SD/CV (+ CSV).
+    ``class_match`` enables usage-rank class matching at deploy (see
+    :func:`deploy`); off = the reference's k -> k mapping."""
     k1, k2 = jax.random.split(key)
-    mu_t, sd_t = accumulate_template_stats(
-        flow, gmm, cfg, params, spectral, template_batches, k1
+    mu_t, sd_t, usage_t = accumulate_template_stats(
+        flow, gmm, cfg, params, spectral, template_batches, k1,
+        return_usage=True
     )
     nmis, outs, (cls_nmi, cls_nmi_raw) = deploy(
         flow, gmm, cfg, params, spectral, test_batches,
-        mu_t, sd_t, k2, log=log)
+        mu_t, sd_t, k2, log=log,
+        usage_tmpl=usage_t if class_match else None)
     sd, cv = color_eval.nmi_sd_cv(nmis)
     # The reference metric: per-class SD/CV averaged across classes
     # (train_img_horo.py:865-898), before and after recoloring.

@@ -464,6 +464,7 @@ def flow_normalize_slide(
     progress: Optional[Callable[[int, int], None]] = None,
     cfg=None,
     use_ema: bool = True,
+    class_match: bool = False,
 ) -> dict:
     """Whole-slide color normalization with the trained residual-flow+GMM
     at the reference's published capacity — the ``validate``/deploy loop of
@@ -482,6 +483,11 @@ def flow_normalize_slide(
     accumulated once over ``n_src_tiles`` sampled tiles of the WHOLE slide
     (not per test batch, ``:803-812``), so every tile is recolored through
     one slide-level map and the output has no batch-boundary seams.
+
+    ``class_match``: rank-match the slide's GMM classes to the template's by
+    usage share before the transfer (robust to the class permutation
+    measured on out-of-distribution centers, BASELINE.md r4); off = the
+    reference's unconditional k -> k mapping.
     """
     import jax  # noqa: F401  (jitted closures below)
 
@@ -529,10 +535,10 @@ def flow_normalize_slide(
 
     key = jax.random.PRNGKey(seed + 1)
     k_tmpl, k_src, key = jax.random.split(key, 3)
-    mu_t, sd_t = accumulate_template_stats(
+    mu_t, sd_t, usage_t = accumulate_template_stats(
         flow, gmm, cfg, params, spectral,
         [tmpl_hsd[i : i + batch] for i in range(0, len(tmpl_hsd), batch)],
-        k_tmpl)
+        k_tmpl, return_usage=True)
 
     slide, _ = _open(src_path)
     try:
@@ -548,10 +554,14 @@ def flow_normalize_slide(
         if len(kept):
             src_tiles = kept
         src_hsd = np.asarray(to_hsd(jnp.asarray(src_tiles)))
-        mu_s, sd_s = accumulate_template_stats(
+        mu_s, sd_s, usage_s = accumulate_template_stats(
             flow, gmm, cfg, params, spectral,
             [src_hsd[i : i + batch] for i in range(0, len(src_hsd), batch)],
-            k_src)
+            k_src, return_usage=True)
+        # One slide-level permutation, matching the slide-level source
+        # statistics above (no per-batch seams either way).
+        perm = (color_eval.match_classes_by_usage(usage_s, usage_t)
+                if class_match else None)
 
         @jax.jit
         def recolor(batch_u8, bi):
@@ -562,7 +572,7 @@ def flow_normalize_slide(
             hsd = rgb_to_hsd(batch_u8)
             _, _, gamma = encode(flow, gmm, params, spectral, cfg, hsd, k)
             return color_eval.image_dist_transform(
-                hsd, gamma, mu_s, sd_s, mu_t, sd_t)
+                hsd, gamma, mu_s, sd_s, mu_t, sd_t, perm=perm)
 
         canvas, n_tiles = _stream_canvas(
             slide, level, tile, batch, W, H,

@@ -58,3 +58,39 @@ def test_flow_normalize_slide_end_to_end(tmp_path):
     # The recoloring is a per-class affine in HSD: finite, in-range output
     # that actually differs from the input on tissue.
     assert np.abs(got.astype(int) - lv0.astype(int)).mean() > 0.5
+
+
+@pytest.mark.slow
+@requires_native
+def test_flow_normalize_slide_class_match(tmp_path):
+    """``class_match=True`` deploys end to end and, on a same-distribution
+    slide (usage orderings agree), matches the reference k->k output
+    byte-for-byte — the matching is a no-op exactly when k->k is already
+    class-correct."""
+    tiles = he_batch(4, 48, 48, seed=1, background_frac=0.0)
+    lv0 = np.concatenate(
+        [np.concatenate(list(tiles[:2]), axis=1),
+         np.concatenate(list(tiles[2:]), axis=1)], axis=0)[:64, :64]
+    path = str(tmp_path / "t.tif")
+    native.write_tiff_pyramid(path, [lv0], tile=128, compression="deflate")
+
+    template = he_batch(8, 16, 16, seed=6, background_frac=0.0)
+    hsd = np.asarray(rgb_to_hsd(jnp.asarray(template[:4])))
+    _, _, state, _ = init_flow_state(CFG, jax.random.PRNGKey(1),
+                                     sample_hsd=hsd)
+    ckdir = str(tmp_path / "ckpt")
+    save_checkpoint(ckdir, jax.tree.map(np.asarray, state), 0)
+
+    outs = {}
+    for cm in (False, True):
+        out_path = str(tmp_path / f"out_{cm}.tif")
+        info = flow_normalize_slide(path, out_path, ckdir, template=template,
+                                    batch=4, n_src_tiles=4, cfg=CFG,
+                                    compression="deflate", class_match=cm)
+        assert info["tiles"] == 16
+        s = native.TiffSlide(out_path)
+        outs[cm] = s.read_region(0, 0, 0, 64, 64)
+        s.close()
+    # The source slide and the template are draws of the same synthetic
+    # distribution; the usage rank match must resolve to the identity.
+    assert np.array_equal(outs[False], outs[True])

@@ -106,6 +106,44 @@ def test_encode_and_template_transfer_pipeline():
     assert diff.max() <= 1
 
 
+def test_class_match_undoes_permutation():
+    """Usage-rank matching recovers the k->k transfer under a synthetic GMM
+    class relabelling — the measured OOD failure mechanism (BASELINE.md r4:
+    the dominant tissue lands on a different cluster index on shifted
+    centers, so the reference's unconditional k->k map recolors it with
+    minority-class template statistics)."""
+    rng = np.random.default_rng(0)
+    K = 4
+    # A sharply-assigned gamma with distinct class usage shares.
+    cls = rng.choice(K, size=(2, 16, 16), p=[0.55, 0.25, 0.15, 0.05])
+    gamma = np.eye(K, dtype=np.float32)[cls]
+    hsd = rng.random((2, 16, 16, 3), np.float32)
+    mu_t = rng.random((K, 3), np.float32)
+    sd_t = 0.5 + 0.5 * rng.random((K, 3), np.float32)
+    usage_t = np.asarray(color_eval.class_usage(gamma))
+    mu_s, sd_s = color_eval.class_color_stats(hsd, gamma)
+    want = color_eval.image_dist_transform(hsd, gamma, mu_s, sd_s, mu_t, sd_t)
+
+    # Relabel the source classes by a permutation sigma: class k becomes
+    # sigma[k]. Identity mapping now pairs wrong classes; usage matching
+    # must recover sigma and reproduce the unpermuted output exactly.
+    sigma = np.array([2, 0, 3, 1])
+    gamma_p = gamma[..., np.argsort(sigma)]
+    usage_p = np.asarray(color_eval.class_usage(gamma_p))
+    perm = np.asarray(color_eval.match_classes_by_usage(usage_p, usage_t))
+    assert np.array_equal(perm, np.argsort(sigma))
+    mu_sp, sd_sp = color_eval.class_color_stats(hsd, gamma_p)
+    got = color_eval.image_dist_transform(hsd, gamma_p, mu_sp, sd_sp,
+                                          mu_t, sd_t, perm=perm)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+    # And on usage-consistent data the match is the identity: the
+    # reference's k->k semantics are preserved bit-exactly.
+    perm_id = np.asarray(color_eval.match_classes_by_usage(
+        np.asarray(color_eval.class_usage(gamma)), usage_t))
+    assert np.array_equal(perm_id, np.arange(K))
+
+
 @pytest.mark.slow
 def test_multiscale_flow_trains_and_encodes():
     """Regression: n_scales=2 squeezes the latent grid below the image grid;
