@@ -52,6 +52,11 @@ def main(argv=None) -> int:
                          "(robust to the OOD class permutation measured in "
                          "BASELINE.md r4); default = the reference's k->k "
                          "mapping")
+    ap.add_argument("--transfer", choices=("diag", "full"), default="diag",
+                    help="per-class transfer: 'diag' = the reference's "
+                         "(mu, sigma) affine (train_img_horo.py:815); "
+                         "'full' = full-covariance Monge maps (EXTENSION, "
+                         "rotates chroma; BASELINE.md r4)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -79,7 +84,7 @@ def main(argv=None) -> int:
         batch=args.batch, level=args.level, n_src_tiles=args.src_tiles,
         seed=args.seed, compression=args.compression, quality=args.quality,
         progress=progress, use_ema=not args.raw_weights,
-        class_match=args.class_match)
+        class_match=args.class_match, transfer=args.transfer)
     dt = time.time() - t0
     print(f"{info['width']}x{info['height']} ({info['tiles']} tiles, "
           f"{info['levels']} levels) -> {args.out}")

@@ -60,6 +60,12 @@ def parse_args(argv):
                         "share before the per-class transfer (robust to the "
                         "class permutation measured on OOD centers, "
                         "BASELINE.md r4); off = the reference's k->k mapping")
+    p.add_argument("--transfer", choices=("diag", "full"), default="diag",
+                   help="per-class transfer: 'diag' = the reference's "
+                        "per-channel (mu, sigma) affine "
+                        "(train_img_horo.py:815); 'full' = full-covariance "
+                        "Gaussian OT (Monge) maps — EXTENSION, rotates "
+                        "chroma per class (color_eval.monge_maps)")
     p.add_argument("--out", default="/tmp/seg_transfer")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
@@ -144,20 +150,27 @@ def _capacity_flow_recolor(args, tmpl_tiles, log):
     tmpl_hsd = np.asarray(to_hsd(jnp.asarray(tmpl_tiles)))
     key = jax.random.PRNGKey(args.seed + 1)
     k_t, key = jax.random.split(key)
-    mu_t, sd_t, usage_t = accumulate_template_stats(
+    full = args.transfer == "full"
+    stats = accumulate_template_stats(
         flow, gmm, cfg, params, spectral,
         [tmpl_hsd[i:i + args.batch]
          for i in range(0, len(tmpl_hsd), args.batch)], k_t,
-        return_usage=True)
+        return_usage=True, return_cov=full)
+    mu_t, sd_t, usage_t = stats[:3]
+    cov_t = stats[3] if full else None
 
     @jax.jit
     def recolor(batch_u8, k):
         hsd = rgb_to_hsd(batch_u8)
         _, _, gamma = encode(flow, gmm, params, spectral, cfg, hsd, k)
-        mu_s, sd_s = color_eval.class_color_stats(hsd, gamma)
         perm = (color_eval.match_classes_by_usage(
                     color_eval.class_usage(gamma), usage_t)
                 if args.class_match else None)
+        if full:
+            mu_s, cov_s = color_eval.class_color_cov(hsd, gamma)
+            return color_eval.image_dist_transform_full(
+                hsd, gamma, mu_s, cov_s, mu_t, cov_t, perm=perm)
+        mu_s, sd_s = color_eval.class_color_stats(hsd, gamma)
         return color_eval.image_dist_transform(
             hsd, gamma, mu_s, sd_s, mu_t, sd_t, perm=perm)
 

@@ -67,6 +67,11 @@ def parse_args(argv):
                    help="usage-rank class matching at deploy (robust to the "
                         "OOD class permutation, BASELINE.md r4); default = "
                         "the reference's k->k mapping")
+    p.add_argument("--transfer", choices=("diag", "full"), default="diag",
+                   help="per-class transfer at deploy: 'diag' = the "
+                        "reference's (mu, sigma) affine "
+                        "(train_img_horo.py:815); 'full' = full-covariance "
+                        "Monge maps (EXTENSION; BASELINE.md r4)")
     p.add_argument("--cpu", action="store_true")
     return p.parse_args(argv)
 
@@ -224,7 +229,7 @@ def run(args):
             [tmpl_hsd[i: i + args.batch]
              for i in range(0, n_tmpl, args.batch)],
             test_hsd, jax.random.PRNGKey(args.seed + 1), out_dir=args.out,
-            class_match=args.class_match)
+            class_match=args.class_match, transfer=args.transfer)
         summary.update({
             "raw_nmi_sd": round(raw_sd, 4), "raw_nmi_cv": round(raw_cv, 4),
             "normalized_nmi_sd": round(res["nmi_sd"], 4),

@@ -15,6 +15,7 @@ path and the metric block of ``train_img_horo.py:658-930``:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -61,6 +62,72 @@ def image_dist_transform(hsd, gamma, mu_src, sigma_src, mu_tmpl, sigma_tmpl,
     norm = (x - mu_src) / jnp.maximum(sigma_src, 1e-6)
     mapped = norm * sigma_tmpl + mu_tmpl  # (B,H,W,K,3)
     out = jnp.einsum("bhwk,bhwkc->bhwc", jnp.asarray(gamma, jnp.float32), mapped)
+    return to_uint8(hsd_to_rgb(out))
+
+
+def class_color_cov(hsd, gamma, eps: float = 1e-6):
+    """Responsibility-weighted per-class mean and FULL covariance of the
+    HSD channels: (B,H,W,3), (B,H,W,K) -> mu (K,3), cov (K,3,3).
+
+    EXTENSION over the reference's (mu, sigma) accumulation
+    (``train_img_horo.py:703-727`` keeps per-channel seconds moments only):
+    the cross-channel terms carry the chroma ORIENTATION of each tissue
+    class, which the diagonal transfer cannot move (measured in BASELINE.md
+    r4 "Segmentation transfer" — hue-rotated centers).
+    """
+    w = jnp.asarray(gamma, jnp.float32)
+    x = jnp.asarray(hsd, jnp.float32)
+    tot = jnp.sum(w, axis=(0, 1, 2)) + eps  # (K,)
+    mu = jnp.einsum("bhwk,bhwc->kc", w, x) / tot[:, None]
+    xx = jnp.einsum("bhwk,bhwc,bhwd->kcd", w, x, x) / tot[:, None, None]
+    cov = xx - mu[:, :, None] * mu[:, None, :]
+    cov = cov + eps * jnp.eye(3)
+    return mu, cov
+
+
+def _spd_power(M, p, eps: float = 1e-8):
+    """Symmetric power M^p of a batch (K,3,3) of SPD matrices via eigh."""
+    w, V = jnp.linalg.eigh(M)
+    w = jnp.maximum(w, eps) ** p
+    return jnp.einsum("kij,kj,klj->kil", V, w, V)
+
+
+def monge_maps(cov_src, cov_tmpl):
+    """Per-class Gaussian optimal-transport (Monge) matrices (K,3,3):
+
+    A_k = S_k^{-1/2} (S_k^{1/2} T_k S_k^{1/2})^{1/2} S_k^{-1/2}
+
+    — the unique SPD linear map with A S A^T = T, i.e. the transfer that
+    matches the template's full covariance (rotation included), reducing to
+    ``sigma_tmpl / sigma_src`` exactly when both covariances are diagonal.
+    """
+    s_half = _spd_power(cov_src, 0.5)
+    s_ihalf = _spd_power(cov_src, -0.5)
+    inner = jnp.einsum("kij,kjl,klm->kim", s_half, cov_tmpl, s_half)
+    return jnp.einsum("kij,kjl,klm->kim", s_ihalf, _spd_power(inner, 0.5),
+                      s_ihalf)
+
+
+def image_dist_transform_full(hsd, gamma, mu_src, cov_src, mu_tmpl, cov_tmpl,
+                              perm=None):
+    """Full-covariance per-class transfer (EXTENSION; see
+    :func:`class_color_cov`):
+
+    out = sum_k gamma_k * (A_k (x - mu_src_k) + mu_tmpl_k)
+
+    with A_k the per-class Monge map. Same contract as
+    :func:`image_dist_transform` (uint8 RGB out); ``perm`` permutes the
+    template statistics as there."""
+    if perm is not None:
+        mu_tmpl = jnp.asarray(mu_tmpl)[perm]
+        cov_tmpl = jnp.asarray(cov_tmpl)[perm]
+    A = monge_maps(jnp.asarray(cov_src, jnp.float32),
+                   jnp.asarray(cov_tmpl, jnp.float32))
+    x = jnp.asarray(hsd, jnp.float32)[..., None, :] - mu_src  # (B,H,W,K,3)
+    mapped = jnp.einsum("bhwkc,kdc->bhwkd", x, A,
+                        precision=jax.lax.Precision.HIGHEST) + mu_tmpl
+    out = jnp.einsum("bhwk,bhwkc->bhwc", jnp.asarray(gamma, jnp.float32),
+                     mapped)
     return to_uint8(hsd_to_rgb(out))
 
 

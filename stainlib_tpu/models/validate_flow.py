@@ -36,14 +36,18 @@ from stainlib_tpu.utils.meters import Throughput
 
 def accumulate_template_stats(flow, gmm, cfg: FlowConfig, params, spectral,
                               template_batches: Iterable, key,
-                              return_usage: bool = False):
+                              return_usage: bool = False,
+                              return_cov: bool = False):
     """Running-mean template statistics over all template batches
     (``train_img_horo.py:676-727``): returns (mu, sigma) of shape (K, 3);
     with ``return_usage`` also the (K,) class-usage shares (for
-    :func:`color_eval.match_classes_by_usage`)."""
+    :func:`color_eval.match_classes_by_usage`); with ``return_cov`` also
+    the (K, 3, 3) full per-class covariances (EXTENSION — feeds
+    :func:`color_eval.image_dist_transform_full`)."""
     sum_w = None
     sum_x = None
     sum_xx = None
+    sum_xxT = None
     enc = jax.jit(
         lambda hsd, k: encode(flow, gmm, params, spectral, cfg, hsd, k)
     )
@@ -57,10 +61,18 @@ def accumulate_template_stats(flow, gmm, cfg: FlowConfig, params, spectral,
         sum_w = w if sum_w is None else sum_w + w
         sum_x = x if sum_x is None else sum_x + x
         sum_xx = xx if sum_xx is None else sum_xx + xx
+        if return_cov:
+            xxT = jnp.einsum("bhwk,bhwc,bhwd->kcd", gamma, hsd, hsd)
+            sum_xxT = xxT if sum_xxT is None else sum_xxT + xxT
     mu, sigma = finalize_template_stats(sum_w, sum_x, sum_xx)
+    out = [mu, sigma]
     if return_usage:
-        return mu, sigma, sum_w / jnp.maximum(jnp.sum(sum_w), 1e-12)
-    return mu, sigma
+        out.append(sum_w / jnp.maximum(jnp.sum(sum_w), 1e-12))
+    if return_cov:
+        tot = jnp.maximum(sum_w, 1e-6)[:, None, None]
+        cov = sum_xxT / tot - mu[:, :, None] * mu[:, None, :]
+        out.append(cov + 1e-6 * jnp.eye(3))
+    return tuple(out) if len(out) > 2 else (mu, sigma)
 
 
 def finalize_template_stats(sum_w, sum_x, sum_xx, eps: float = 1e-6):
@@ -73,7 +85,8 @@ def finalize_template_stats(sum_w, sum_x, sum_xx, eps: float = 1e-6):
 
 
 def deploy(flow, gmm, cfg: FlowConfig, params, spectral, test_batches,
-           mu_tmpl, sigma_tmpl, key, log=print, usage_tmpl=None):
+           mu_tmpl, sigma_tmpl, key, log=print, usage_tmpl=None,
+           cov_tmpl=None):
     """DEPLOY pass: recolor every test batch toward the template and collect
     per-image NMI of the recolored output (``train_img_horo.py:750-862``).
 
@@ -88,6 +101,12 @@ def deploy(flow, gmm, cfg: FlowConfig, params, spectral, test_batches,
     the transfer (:func:`color_eval.match_classes_by_usage`) — robust to the
     GMM class permutation measured on out-of-distribution centers; omit for
     the reference's unconditional k -> k mapping.
+
+    ``cov_tmpl`` (optional, (K,3,3)): template per-class covariances from
+    ``accumulate_template_stats(return_cov=True)``. When given, the
+    transfer uses the full-covariance Monge maps
+    (:func:`color_eval.image_dist_transform_full` — EXTENSION, matches
+    chroma rotation) instead of the reference's diagonal affine.
     """
     enc = jax.jit(
         lambda hsd, k: encode(flow, gmm, params, spectral, cfg, hsd, k)
@@ -104,13 +123,18 @@ def deploy(flow, gmm, cfg: FlowConfig, params, spectral, test_batches,
         # Source stats pooled over the batch — exactly the reference: the
         # GMM head returns ONE (mu, std) per deploy batch
         # (train_img_horo.py:703-705, applied at :815).
-        mu_s, sd_s = color_eval.class_color_stats(hsd, gamma)
         perm = (color_eval.match_classes_by_usage(
                     color_eval.class_usage(gamma), usage_tmpl)
                 if usage_tmpl is not None else None)
-        rgb = color_eval.image_dist_transform(
-            hsd, gamma, mu_s, sd_s, mu_tmpl, sigma_tmpl, perm=perm
-        )
+        if cov_tmpl is not None:
+            mu_s, cov_s = color_eval.class_color_cov(hsd, gamma)
+            rgb = color_eval.image_dist_transform_full(
+                hsd, gamma, mu_s, cov_s, mu_tmpl, cov_tmpl, perm=perm)
+        else:
+            mu_s, sd_s = color_eval.class_color_stats(hsd, gamma)
+            rgb = color_eval.image_dist_transform(
+                hsd, gamma, mu_s, sd_s, mu_tmpl, sigma_tmpl, perm=perm
+            )
         mask = tissue_mask(rgb).mask
         for i in range(rgb.shape[0]):
             nmis.append(float(color_eval.nmi(rgb[i], mask[i])))
@@ -130,19 +154,26 @@ def deploy(flow, gmm, cfg: FlowConfig, params, spectral, test_batches,
 def validate(flow, gmm, cfg: FlowConfig, params, spectral,
              template_batches, test_batches, key,
              out_dir: Optional[str] = None, log=print,
-             class_match: bool = False):
+             class_match: bool = False, transfer: str = "diag"):
     """Full validate(): template stats -> deploy -> NMI SD/CV (+ CSV).
     ``class_match`` enables usage-rank class matching at deploy (see
-    :func:`deploy`); off = the reference's k -> k mapping."""
+    :func:`deploy`); off = the reference's k -> k mapping.
+    ``transfer``: 'diag' = the reference's per-channel affine
+    (``train_img_horo.py:815``); 'full' = per-class Monge maps
+    (EXTENSION — :func:`color_eval.image_dist_transform_full`)."""
+    if transfer not in ("diag", "full"):
+        raise ValueError(f"transfer must be 'diag' or 'full', got {transfer!r}")
     k1, k2 = jax.random.split(key)
-    mu_t, sd_t, usage_t = accumulate_template_stats(
+    stats = accumulate_template_stats(
         flow, gmm, cfg, params, spectral, template_batches, k1,
-        return_usage=True
+        return_usage=True, return_cov=transfer == "full"
     )
+    mu_t, sd_t, usage_t = stats[:3]
     nmis, outs, (cls_nmi, cls_nmi_raw) = deploy(
         flow, gmm, cfg, params, spectral, test_batches,
         mu_t, sd_t, k2, log=log,
-        usage_tmpl=usage_t if class_match else None)
+        usage_tmpl=usage_t if class_match else None,
+        cov_tmpl=stats[3] if transfer == "full" else None)
     sd, cv = color_eval.nmi_sd_cv(nmis)
     # The reference metric: per-class SD/CV averaged across classes
     # (train_img_horo.py:865-898), before and after recoloring.

@@ -465,6 +465,7 @@ def flow_normalize_slide(
     cfg=None,
     use_ema: bool = True,
     class_match: bool = False,
+    transfer: str = "diag",
 ) -> dict:
     """Whole-slide color normalization with the trained residual-flow+GMM
     at the reference's published capacity — the ``validate``/deploy loop of
@@ -488,6 +489,12 @@ def flow_normalize_slide(
     usage share before the transfer (robust to the class permutation
     measured on out-of-distribution centers, BASELINE.md r4); off = the
     reference's unconditional k -> k mapping.
+
+    ``transfer``: 'diag' = the reference's per-channel (mu, sigma) affine
+    (``train_img_horo.py:815``); 'full' = full-covariance per-class Monge
+    maps (EXTENSION — ``color_eval.image_dist_transform_full``, matches the
+    template's chroma rotation; measured on the synthetic cohort in
+    BASELINE.md r4).
     """
     import jax  # noqa: F401  (jitted closures below)
 
@@ -533,12 +540,17 @@ def flow_normalize_slide(
     params = state.ema.params if use_ema else state.params
     spectral = state.spectral
 
+    if transfer not in ("diag", "full"):
+        raise ValueError(f"transfer must be 'diag' or 'full', got {transfer!r}")
+    full = transfer == "full"
     key = jax.random.PRNGKey(seed + 1)
     k_tmpl, k_src, key = jax.random.split(key, 3)
-    mu_t, sd_t, usage_t = accumulate_template_stats(
+    t_stats = accumulate_template_stats(
         flow, gmm, cfg, params, spectral,
         [tmpl_hsd[i : i + batch] for i in range(0, len(tmpl_hsd), batch)],
-        k_tmpl, return_usage=True)
+        k_tmpl, return_usage=True, return_cov=full)
+    mu_t, sd_t, usage_t = t_stats[:3]
+    cov_t = t_stats[3] if full else None
 
     slide, _ = _open(src_path)
     try:
@@ -554,10 +566,12 @@ def flow_normalize_slide(
         if len(kept):
             src_tiles = kept
         src_hsd = np.asarray(to_hsd(jnp.asarray(src_tiles)))
-        mu_s, sd_s, usage_s = accumulate_template_stats(
+        s_stats = accumulate_template_stats(
             flow, gmm, cfg, params, spectral,
             [src_hsd[i : i + batch] for i in range(0, len(src_hsd), batch)],
-            k_src, return_usage=True)
+            k_src, return_usage=True, return_cov=full)
+        mu_s, sd_s, usage_s = s_stats[:3]
+        cov_s = s_stats[3] if full else None
         # One slide-level permutation, matching the slide-level source
         # statistics above (no per-batch seams either way).
         perm = (color_eval.match_classes_by_usage(usage_s, usage_t)
@@ -571,6 +585,9 @@ def flow_normalize_slide(
             k = jax.random.fold_in(key, bi)
             hsd = rgb_to_hsd(batch_u8)
             _, _, gamma = encode(flow, gmm, params, spectral, cfg, hsd, k)
+            if full:
+                return color_eval.image_dist_transform_full(
+                    hsd, gamma, mu_s, cov_s, mu_t, cov_t, perm=perm)
             return color_eval.image_dist_transform(
                 hsd, gamma, mu_s, sd_s, mu_t, sd_t, perm=perm)
 

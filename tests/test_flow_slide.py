@@ -94,3 +94,42 @@ def test_flow_normalize_slide_class_match(tmp_path):
     # The source slide and the template are draws of the same synthetic
     # distribution; the usage rank match must resolve to the identity.
     assert np.array_equal(outs[False], outs[True])
+
+
+@pytest.mark.slow
+@requires_native
+def test_flow_normalize_slide_full_transfer(tmp_path):
+    """``transfer='full'`` (per-class Monge maps, EXTENSION) deploys end to
+    end and produces valid output that differs from the diagonal transfer
+    (the covariances of real tissue classes are not diagonal)."""
+    tiles = he_batch(4, 48, 48, seed=2, background_frac=0.0)
+    lv0 = np.concatenate(
+        [np.concatenate(list(tiles[:2]), axis=1),
+         np.concatenate(list(tiles[2:]), axis=1)], axis=0)[:64, :64]
+    path = str(tmp_path / "t.tif")
+    native.write_tiff_pyramid(path, [lv0], tile=128, compression="deflate")
+
+    template = he_batch(8, 16, 16, seed=7, background_frac=0.0)
+    hsd = np.asarray(rgb_to_hsd(jnp.asarray(template[:4])))
+    _, _, state, _ = init_flow_state(CFG, jax.random.PRNGKey(2),
+                                     sample_hsd=hsd)
+    ckdir = str(tmp_path / "ckpt")
+    save_checkpoint(ckdir, jax.tree.map(np.asarray, state), 0)
+
+    outs = {}
+    for tr in ("diag", "full"):
+        out_path = str(tmp_path / f"out_{tr}.tif")
+        info = flow_normalize_slide(path, out_path, ckdir, template=template,
+                                    batch=4, n_src_tiles=4, cfg=CFG,
+                                    compression="deflate", transfer=tr)
+        assert info["tiles"] == 16
+        s = native.TiffSlide(out_path)
+        outs[tr] = s.read_region(0, 0, 0, 64, 64)
+        s.close()
+    assert outs["full"].dtype == np.uint8
+    assert not np.array_equal(outs["diag"], outs["full"])
+
+    with pytest.raises(ValueError):
+        flow_normalize_slide(path, str(tmp_path / "bad.tif"), ckdir,
+                             template=template, batch=4, n_src_tiles=4,
+                             cfg=CFG, transfer="typo")

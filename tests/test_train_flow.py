@@ -8,7 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from stainlib_tpu.models import color_eval
+from stainlib_tpu.models import color_eval, validate_flow
 from stainlib_tpu.models.train_flow import (
     FlowConfig,
     build_models,
@@ -142,6 +142,76 @@ def test_class_match_undoes_permutation():
     perm_id = np.asarray(color_eval.match_classes_by_usage(
         np.asarray(color_eval.class_usage(gamma)), usage_t))
     assert np.array_equal(perm_id, np.arange(K))
+
+
+def test_monge_transfer_full_covariance():
+    """Full-covariance per-class transfer (EXTENSION over the reference's
+    diagonal (mu, sigma) affine at ``train_img_horo.py:815``): the Monge
+    map satisfies A S A^T = T — it matches the template's chroma ROTATION,
+    which no diagonal scaling can — and reduces exactly to the reference
+    transfer when both covariances are diagonal."""
+    rng = np.random.default_rng(0)
+    K = 4
+
+    def spd(k, scale=1.0):
+        a = rng.normal(size=(k, 3, 3)) * scale
+        return (np.einsum("kij,klj->kil", a, a)
+                + 0.05 * np.eye(3)).astype(np.float32)
+
+    S, T = spd(K), spd(K)
+    A = np.asarray(color_eval.monge_maps(S, T))
+    push = np.einsum("kij,kjl,kml->kim", A, S, A)
+    assert np.abs(push - T).max() < 1e-4
+    # SPD maps: symmetric, positive eigenvalues.
+    assert np.abs(A - np.transpose(A, (0, 2, 1))).max() < 1e-5
+    assert np.linalg.eigvalsh(A).min() > 0
+
+    # Diagonal covariances: full transfer == the reference's diagonal one.
+    cls = rng.choice(K, size=(2, 16, 16))
+    gamma = np.eye(K, dtype=np.float32)[cls]
+    hsd = rng.random((2, 16, 16, 3), np.float32)
+    mu_s = rng.random((K, 3), np.float32)
+    mu_t = rng.random((K, 3), np.float32)
+    sd_s = 0.3 + 0.5 * rng.random((K, 3), np.float32)
+    sd_t = 0.3 + 0.5 * rng.random((K, 3), np.float32)
+    diag = color_eval.image_dist_transform(hsd, gamma, mu_s, sd_s,
+                                           mu_t, sd_t)
+    cov_s = np.stack([np.diag(s * s) for s in sd_s])
+    cov_t = np.stack([np.diag(t * t) for t in sd_t])
+    full = color_eval.image_dist_transform_full(hsd, gamma, mu_s, cov_s,
+                                                mu_t, cov_t)
+    diff = np.abs(np.asarray(diag, int) - np.asarray(full, int))
+    assert diff.max() <= 1, diff.max()
+
+
+def test_class_color_cov_consistent_with_stats():
+    """class_color_cov's diagonal agrees with class_color_stats' sigma^2
+    (same responsibilities, same weighting)."""
+    rng = np.random.default_rng(1)
+    gamma = rng.dirichlet(np.ones(3), size=(2, 8, 8)).astype(np.float32)
+    hsd = rng.random((2, 8, 8, 3), np.float32)
+    mu_a, sd = color_eval.class_color_stats(hsd, gamma)
+    mu_b, cov = color_eval.class_color_cov(hsd, gamma)
+    assert np.allclose(mu_a, mu_b, atol=1e-6)
+    var = np.einsum("kcc->kc", np.asarray(cov))
+    assert np.allclose(var, np.asarray(sd) ** 2, atol=1e-5)
+    # PSD with the jitter in place.
+    assert np.linalg.eigvalsh(np.asarray(cov)).min() > 0
+
+
+def test_template_stats_return_cov():
+    """accumulate_template_stats(return_cov=True) produces the (K,3,3)
+    covariances whose diagonal matches the returned sigma^2."""
+    flow, gmm, state, tx = init_flow_state(CFG, KEY)
+    tmpl = _hsd_batch(4, seed=7)
+    out = validate_flow.accumulate_template_stats(
+        flow, gmm, CFG, state.params, state.spectral, [tmpl], KEY,
+        return_usage=True, return_cov=True)
+    mu, sd, usage, cov = out
+    assert np.asarray(cov).shape == (CFG.n_clusters, 3, 3)
+    var = np.einsum("kcc->kc", np.asarray(cov))
+    assert np.allclose(var, np.asarray(sd) ** 2, atol=1e-4)
+    assert np.isclose(float(np.sum(np.asarray(usage))), 1.0, atol=1e-5)
 
 
 @pytest.mark.slow
