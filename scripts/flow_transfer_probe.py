@@ -19,7 +19,15 @@ Per center this probe measures, for a given checkpoint:
     template's usage);
   * per-class HSD source-vs-template distance after matching classes;
   * mean |uint8 delta| of the recolored output vs the template's own
-    recolor (how violently the transfer rewrites the image).
+    recolor (how violently the transfer rewrites the image);
+  * per-class Q-Q affine residual vs the template: fit a,b per channel
+    mapping the source class quantiles (p5..p95) onto the template's and
+    report the worst-channel RMS residual relative to the template spread.
+    This bounds what ANY per-class affine transfer — the reference's
+    diagonal (mu, sigma) map at ``train_img_horo.py:815`` or the r4 Monge
+    extension — can achieve: a large residual means the within-class shift
+    is NON-AFFINE and only re-estimation (Macenko's per-image basis) or a
+    nonlinear map can close it.
 
     python scripts/flow_transfer_probe.py --ckpt /tmp/flow_cap5k/ckpt
 """
@@ -88,6 +96,49 @@ def run(args):
          for i in range(0, len(tmpl_hsd), args.batch)], k_t)
     mu_t_h = np.asarray(mu_t)
 
+    K = cfg.n_clusters
+    PS = np.arange(5, 96, 5)
+
+    def class_quantiles(hsd_np, cls_np):
+        """(K, 3, len(PS)) per-class per-channel quantiles; NaN if empty."""
+        out = np.full((K, 3, len(PS)), np.nan)
+        flat = hsd_np.reshape(-1, 3)
+        lab = cls_np.reshape(-1)
+        for k in range(K):
+            sel = flat[lab == k]
+            if len(sel) >= 32:
+                out[k] = np.percentile(sel, PS, axis=0).T
+        return out
+
+    enc_t = jax.jit(
+        lambda hsd, k: encode(flow, gmm, params, spectral, cfg, hsd, k))
+    t_cls = []
+    kq, key = jax.random.split(key)
+    for i in range(0, len(tmpl_hsd), args.batch):
+        kq, sub = jax.random.split(kq)
+        _, _, g = enc_t(jnp.asarray(tmpl_hsd[i:i + args.batch]), sub)
+        t_cls.append(np.asarray(g).argmax(-1))
+    q_tmpl = class_quantiles(tmpl_hsd, np.concatenate(t_cls))
+
+    def qq_affine_resid(q_src):
+        """Worst-channel relative RMS residual of the best affine fit from
+        the source class quantile curve onto the template's, per class."""
+        res = []
+        for k in range(K):
+            worst = 0.0
+            for c in range(3):
+                qs, qt = q_src[k, c], q_tmpl[k, c]
+                if np.isnan(qs).any() or np.isnan(qt).any():
+                    worst = float("nan")
+                    break
+                a, b = np.polyfit(qs, qt, 1)
+                spread = max(float(qt.std()), 1e-6)
+                worst = max(worst,
+                            float(np.sqrt(np.mean((a * qs + b - qt) ** 2)))
+                            / spread)
+            res.append(worst)
+        return res
+
     @jax.jit
     def probe(batch_u8, k):
         hsd = rgb_to_hsd(batch_u8)
@@ -98,12 +149,11 @@ def run(args):
         return bpd, gamma, mu_s, out
 
     os.makedirs(args.out, exist_ok=True)
-    K = cfg.n_clusters
     report = {}
     for c in range(N_CENTERS):
         tiles = center_tiles(c, args.tiles, s, s, seed=args.seed + 200)
         bpds, sharp, hist = [], [], np.zeros(K)
-        mus, outs = [], []
+        mus, outs, cls_np, hsd_np = [], [], [], []
         for i in range(0, len(tiles), args.batch):
             b = jnp.asarray(tiles[i:i + args.batch])
             k_b, key = jax.random.split(key)
@@ -114,7 +164,11 @@ def run(args):
             hist += np.bincount(g.argmax(-1).reshape(-1), minlength=K)
             mus.append(np.asarray(mu_s))
             outs.append(np.asarray(out))
+            cls_np.append(g.argmax(-1))
+            hsd_np.append(np.asarray(to_hsd(b)))
         hist = hist / hist.sum()
+        qq = qq_affine_resid(class_quantiles(np.concatenate(hsd_np),
+                                             np.concatenate(cls_np)))
         mu_s_avg = np.mean(mus, axis=0)
         # per-class distance between the center's source stats and the
         # template stats it is mapped onto (same index = the transfer's
@@ -125,6 +179,8 @@ def run(args):
             "gamma_max_mean": round(float(np.mean(sharp)), 4),
             "class_usage": [round(float(x), 4) for x in hist],
             "src_vs_tmpl_mu_dist": [round(float(x), 4) for x in d_cls],
+            "qq_affine_resid": [None if np.isnan(x) else round(x, 4)
+                                for x in qq],
         }
         grid = np.concatenate(
             [np.concatenate(list(tiles[:4]), axis=1),
