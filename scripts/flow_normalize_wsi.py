@@ -52,11 +52,13 @@ def main(argv=None) -> int:
                          "(robust to the OOD class permutation measured in "
                          "BASELINE.md r4); default = the reference's k->k "
                          "mapping")
-    ap.add_argument("--transfer", choices=("diag", "full"), default="diag",
+    ap.add_argument("--transfer", choices=("diag", "full", "quantile"),
+                    default="diag",
                     help="per-class transfer: 'diag' = the reference's "
                          "(mu, sigma) affine (train_img_horo.py:815); "
                          "'full' = full-covariance Monge maps (EXTENSION, "
-                         "rotates chroma; BASELINE.md r4)")
+                         "rotates chroma); 'quantile' = per-class quantile "
+                         "matching (EXTENSION, non-affine; BASELINE.md r4)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 

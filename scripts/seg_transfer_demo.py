@@ -60,12 +60,23 @@ def parse_args(argv):
                         "share before the per-class transfer (robust to the "
                         "class permutation measured on OOD centers, "
                         "BASELINE.md r4); off = the reference's k->k mapping")
-    p.add_argument("--transfer", choices=("diag", "full"), default="diag",
+    p.add_argument("--transfer", choices=("diag", "full", "quantile"),
+                   default="diag",
                    help="per-class transfer: 'diag' = the reference's "
                         "per-channel (mu, sigma) affine "
                         "(train_img_horo.py:815); 'full' = full-covariance "
                         "Gaussian OT (Monge) maps — EXTENSION, rotates "
-                        "chroma per class (color_eval.monge_maps)")
+                        "chroma per class (color_eval.monge_maps); "
+                        "'quantile' = per-class quantile matching — "
+                        "EXTENSION, closes the measured non-affine "
+                        "within-class shifts (BASELINE.md r4)")
+    p.add_argument("--src-stats", choices=("batch", "image"),
+                   default="batch",
+                   help="source statistics pooling for the flow transfer: "
+                        "'batch' = the reference's one (mu, sigma) per "
+                        "deploy batch (train_img_horo.py:703-705); 'image' "
+                        "= per-image (EXTENSION — adapts per image like "
+                        "Macenko's re-estimation)")
     p.add_argument("--out", default="/tmp/seg_transfer")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
@@ -151,21 +162,28 @@ def _capacity_flow_recolor(args, tmpl_tiles, log):
     key = jax.random.PRNGKey(args.seed + 1)
     k_t, key = jax.random.split(key)
     full = args.transfer == "full"
+    quant = args.transfer == "quantile"
     stats = accumulate_template_stats(
         flow, gmm, cfg, params, spectral,
         [tmpl_hsd[i:i + args.batch]
          for i in range(0, len(tmpl_hsd), args.batch)], k_t,
-        return_usage=True, return_cov=full)
+        return_usage=True, return_cov=full, return_quantiles=quant)
     mu_t, sd_t, usage_t = stats[:3]
     cov_t = stats[3] if full else None
+    q_t = stats[3] if quant else None
 
-    @jax.jit
-    def recolor(batch_u8, k):
-        hsd = rgb_to_hsd(batch_u8)
-        _, _, gamma = encode(flow, gmm, params, spectral, cfg, hsd, k)
+    per_image = args.src_stats == "image"
+
+    def transfer_one(hsd, gamma):
+        """(B,H,W,3),(B,H,W,K) -> uint8 RGB via the selected transfer,
+        with source statistics over the leading batch axis."""
         perm = (color_eval.match_classes_by_usage(
                     color_eval.class_usage(gamma), usage_t)
                 if args.class_match else None)
+        if quant:
+            q_s, _ = color_eval.class_channel_quantiles(hsd, gamma)
+            return color_eval.image_dist_transform_quantile(
+                hsd, gamma, q_s, q_t, perm=perm)
         if full:
             mu_s, cov_s = color_eval.class_color_cov(hsd, gamma)
             return color_eval.image_dist_transform_full(
@@ -173,6 +191,18 @@ def _capacity_flow_recolor(args, tmpl_tiles, log):
         mu_s, sd_s = color_eval.class_color_stats(hsd, gamma)
         return color_eval.image_dist_transform(
             hsd, gamma, mu_s, sd_s, mu_t, sd_t, perm=perm)
+
+    @jax.jit
+    def recolor(batch_u8, k):
+        hsd = rgb_to_hsd(batch_u8)
+        _, _, gamma = encode(flow, gmm, params, spectral, cfg, hsd, k)
+        if per_image:
+            # Per-IMAGE source statistics (EXTENSION — the reference pools
+            # one (mu, std) per deploy batch, train_img_horo.py:703-705;
+            # per-image adapts like Macenko's per-image re-estimation).
+            return jax.vmap(
+                lambda h, g: transfer_one(h[None], g[None])[0])(hsd, gamma)
+        return transfer_one(hsd, gamma)
 
     counter = [0]
 

@@ -67,11 +67,13 @@ def parse_args(argv):
                    help="usage-rank class matching at deploy (robust to the "
                         "OOD class permutation, BASELINE.md r4); default = "
                         "the reference's k->k mapping")
-    p.add_argument("--transfer", choices=("diag", "full"), default="diag",
+    p.add_argument("--transfer", choices=("diag", "full", "quantile"),
+                   default="diag",
                    help="per-class transfer at deploy: 'diag' = the "
                         "reference's (mu, sigma) affine "
                         "(train_img_horo.py:815); 'full' = full-covariance "
-                        "Monge maps (EXTENSION; BASELINE.md r4)")
+                        "Monge maps; 'quantile' = per-class quantile "
+                        "matching (both EXTENSIONS; BASELINE.md r4)")
     p.add_argument("--cpu", action="store_true")
     return p.parse_args(argv)
 

@@ -131,6 +131,77 @@ def image_dist_transform_full(hsd, gamma, mu_src, cov_src, mu_tmpl, cov_tmpl,
     return to_uint8(hsd_to_rgb(out))
 
 
+def class_channel_quantiles(hsd, gamma, n_points: int = 33,
+                            prior_weight: float = 256.0, eps: float = 1e-6):
+    """Responsibility-weighted per-class per-channel quantile curves.
+
+    Returns ``(q, mass)``: ``q`` of shape (K, 3, P) — the weighted quantile
+    function of each class/channel sampled at P evenly spaced probabilities
+    — and ``mass`` (K,), the total responsibility behind each curve.
+
+    EXTENSION beyond the reference's two-moment accumulation
+    (``train_img_horo.py:703-727``): the full quantile curve captures the
+    NON-AFFINE within-class shifts measured on the synthetic cohort's hard
+    centers (BASELINE.md r4 — Q-Q affine residual up to 0.91 of the
+    template spread, which bounds every affine transfer).
+
+    Classes with little mass are shrunk toward the GLOBAL (class-agnostic)
+    curve with weight ``mass / (mass + prior_weight)`` — this also covers
+    classes the template never uses (measured: shifted centers route ~9% of
+    pixels through a template-empty class, whose (mu, sigma) are
+    unsupported noise under the reference transfer).
+    """
+    x = jnp.asarray(hsd, jnp.float32).reshape(-1, 3)           # (N, 3)
+    w = jnp.asarray(gamma, jnp.float32).reshape(-1, gamma.shape[-1])
+    ps = jnp.linspace(0.0, 1.0, n_points)
+
+    def per_channel(xc, wk):
+        """xc (N,), wk (N, K') -> (K', P) weighted quantiles."""
+        order = jnp.argsort(xc)
+        xs = xc[order]
+        ws = wk[order]
+        cw = jnp.cumsum(ws, axis=0)
+        tot = cw[-1]                                            # (K',)
+        cwm = (cw - 0.5 * ws) / jnp.maximum(tot, eps)           # (N, K')
+        return jax.vmap(lambda c: jnp.interp(ps, c, xs),
+                        in_axes=1)(cwm)
+
+    q_cls = jax.vmap(per_channel, in_axes=(1, None),
+                     out_axes=1)(x, w)                          # (K, 3, P)
+    ones = jnp.ones((x.shape[0], 1), jnp.float32)
+    q_glob = jax.vmap(per_channel, in_axes=(1, None),
+                      out_axes=1)(x, ones)[0]                   # (3, P)
+    mass = jnp.sum(w, axis=0)                                   # (K,)
+    lam = (mass / (mass + prior_weight))[:, None, None]
+    return lam * q_cls + (1.0 - lam) * q_glob, mass
+
+
+def image_dist_transform_quantile(hsd, gamma, q_src, q_tmpl, perm=None):
+    """Per-class monotone QUANTILE-MATCHING transfer (EXTENSION; see
+    :func:`class_channel_quantiles`):
+
+    out = sum_k gamma_k * interp(x, q_src_k, q_tmpl_k)   (per channel)
+
+    — maps each class's full distribution onto the template's instead of
+    only its first two moments, closing the measured non-affine residual.
+    Same contract as :func:`image_dist_transform` (uint8 RGB out)."""
+    if perm is not None:
+        q_tmpl = jnp.asarray(q_tmpl)[perm]
+    x = jnp.asarray(hsd, jnp.float32)                           # (B,H,W,3)
+
+    def map_class(qs_k, qt_k):
+        """(3,P),(3,P) -> (B,H,W,3) monotone per-channel map of x."""
+        return jax.vmap(
+            lambda qs, qt, xc: jnp.interp(xc, qs, qt),
+            in_axes=(0, 0, -1), out_axes=-1)(qs_k, qt_k, x)
+
+    mapped = jax.vmap(map_class)(jnp.asarray(q_src, jnp.float32),
+                                 jnp.asarray(q_tmpl, jnp.float32))
+    out = jnp.einsum("bhwk,kbhwc->bhwc", jnp.asarray(gamma, jnp.float32),
+                     mapped)
+    return to_uint8(hsd_to_rgb(out))
+
+
 def class_usage(gamma):
     """Mean responsibility share per class: (..., K) -> (K,), sums to 1.
     The histogram whose permutation across centers is the measured

@@ -37,17 +37,23 @@ from stainlib_tpu.utils.meters import Throughput
 def accumulate_template_stats(flow, gmm, cfg: FlowConfig, params, spectral,
                               template_batches: Iterable, key,
                               return_usage: bool = False,
-                              return_cov: bool = False):
+                              return_cov: bool = False,
+                              return_quantiles: bool = False):
     """Running-mean template statistics over all template batches
     (``train_img_horo.py:676-727``): returns (mu, sigma) of shape (K, 3);
     with ``return_usage`` also the (K,) class-usage shares (for
     :func:`color_eval.match_classes_by_usage`); with ``return_cov`` also
     the (K, 3, 3) full per-class covariances (EXTENSION — feeds
-    :func:`color_eval.image_dist_transform_full`)."""
+    :func:`color_eval.image_dist_transform_full`); with
+    ``return_quantiles`` also the (K, 3, P) per-class quantile curves
+    (EXTENSION — feeds :func:`color_eval.image_dist_transform_quantile`;
+    mass-weighted average of per-batch curves, i.e. their Wasserstein
+    barycenter)."""
     sum_w = None
     sum_x = None
     sum_xx = None
     sum_xxT = None
+    sum_wq = None
     enc = jax.jit(
         lambda hsd, k: encode(flow, gmm, params, spectral, cfg, hsd, k)
     )
@@ -64,6 +70,10 @@ def accumulate_template_stats(flow, gmm, cfg: FlowConfig, params, spectral,
         if return_cov:
             xxT = jnp.einsum("bhwk,bhwc,bhwd->kcd", gamma, hsd, hsd)
             sum_xxT = xxT if sum_xxT is None else sum_xxT + xxT
+        if return_quantiles:
+            q_b, m_b = color_eval.class_channel_quantiles(hsd, gamma)
+            wq = m_b[:, None, None] * q_b
+            sum_wq = wq if sum_wq is None else sum_wq + wq
     mu, sigma = finalize_template_stats(sum_w, sum_x, sum_xx)
     out = [mu, sigma]
     if return_usage:
@@ -72,6 +82,8 @@ def accumulate_template_stats(flow, gmm, cfg: FlowConfig, params, spectral,
         tot = jnp.maximum(sum_w, 1e-6)[:, None, None]
         cov = sum_xxT / tot - mu[:, :, None] * mu[:, None, :]
         out.append(cov + 1e-6 * jnp.eye(3))
+    if return_quantiles:
+        out.append(sum_wq / jnp.maximum(sum_w, 1e-6)[:, None, None])
     return tuple(out) if len(out) > 2 else (mu, sigma)
 
 
@@ -86,7 +98,7 @@ def finalize_template_stats(sum_w, sum_x, sum_xx, eps: float = 1e-6):
 
 def deploy(flow, gmm, cfg: FlowConfig, params, spectral, test_batches,
            mu_tmpl, sigma_tmpl, key, log=print, usage_tmpl=None,
-           cov_tmpl=None):
+           cov_tmpl=None, q_tmpl=None):
     """DEPLOY pass: recolor every test batch toward the template and collect
     per-image NMI of the recolored output (``train_img_horo.py:750-862``).
 
@@ -107,6 +119,13 @@ def deploy(flow, gmm, cfg: FlowConfig, params, spectral, test_batches,
     transfer uses the full-covariance Monge maps
     (:func:`color_eval.image_dist_transform_full` — EXTENSION, matches
     chroma rotation) instead of the reference's diagonal affine.
+
+    ``q_tmpl`` (optional, (K,3,P)): template per-class quantile curves from
+    ``accumulate_template_stats(return_quantiles=True)``. When given, the
+    transfer is per-class QUANTILE MATCHING
+    (:func:`color_eval.image_dist_transform_quantile` — EXTENSION, closes
+    the measured non-affine within-class shifts); takes precedence over
+    ``cov_tmpl``.
     """
     enc = jax.jit(
         lambda hsd, k: encode(flow, gmm, params, spectral, cfg, hsd, k)
@@ -126,7 +145,11 @@ def deploy(flow, gmm, cfg: FlowConfig, params, spectral, test_batches,
         perm = (color_eval.match_classes_by_usage(
                     color_eval.class_usage(gamma), usage_tmpl)
                 if usage_tmpl is not None else None)
-        if cov_tmpl is not None:
+        if q_tmpl is not None:
+            q_src, _ = color_eval.class_channel_quantiles(hsd, gamma)
+            rgb = color_eval.image_dist_transform_quantile(
+                hsd, gamma, q_src, q_tmpl, perm=perm)
+        elif cov_tmpl is not None:
             mu_s, cov_s = color_eval.class_color_cov(hsd, gamma)
             rgb = color_eval.image_dist_transform_full(
                 hsd, gamma, mu_s, cov_s, mu_tmpl, cov_tmpl, perm=perm)
@@ -160,20 +183,25 @@ def validate(flow, gmm, cfg: FlowConfig, params, spectral,
     :func:`deploy`); off = the reference's k -> k mapping.
     ``transfer``: 'diag' = the reference's per-channel affine
     (``train_img_horo.py:815``); 'full' = per-class Monge maps
-    (EXTENSION — :func:`color_eval.image_dist_transform_full`)."""
-    if transfer not in ("diag", "full"):
-        raise ValueError(f"transfer must be 'diag' or 'full', got {transfer!r}")
+    (EXTENSION — :func:`color_eval.image_dist_transform_full`);
+    'quantile' = per-class quantile matching (EXTENSION —
+    :func:`color_eval.image_dist_transform_quantile`)."""
+    if transfer not in ("diag", "full", "quantile"):
+        raise ValueError(
+            f"transfer must be 'diag', 'full' or 'quantile', got {transfer!r}")
     k1, k2 = jax.random.split(key)
     stats = accumulate_template_stats(
         flow, gmm, cfg, params, spectral, template_batches, k1,
-        return_usage=True, return_cov=transfer == "full"
+        return_usage=True, return_cov=transfer == "full",
+        return_quantiles=transfer == "quantile"
     )
     mu_t, sd_t, usage_t = stats[:3]
     nmis, outs, (cls_nmi, cls_nmi_raw) = deploy(
         flow, gmm, cfg, params, spectral, test_batches,
         mu_t, sd_t, k2, log=log,
         usage_tmpl=usage_t if class_match else None,
-        cov_tmpl=stats[3] if transfer == "full" else None)
+        cov_tmpl=stats[3] if transfer == "full" else None,
+        q_tmpl=stats[3] if transfer == "quantile" else None)
     sd, cv = color_eval.nmi_sd_cv(nmis)
     # The reference metric: per-class SD/CV averaged across classes
     # (train_img_horo.py:865-898), before and after recoloring.

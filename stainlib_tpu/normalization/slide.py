@@ -493,8 +493,10 @@ def flow_normalize_slide(
     ``transfer``: 'diag' = the reference's per-channel (mu, sigma) affine
     (``train_img_horo.py:815``); 'full' = full-covariance per-class Monge
     maps (EXTENSION — ``color_eval.image_dist_transform_full``, matches the
-    template's chroma rotation; measured on the synthetic cohort in
-    BASELINE.md r4).
+    template's chroma rotation); 'quantile' = per-class quantile matching
+    (EXTENSION — ``color_eval.image_dist_transform_quantile``, closes the
+    measured non-affine within-class shifts; both measured on the synthetic
+    cohort in BASELINE.md r4).
     """
     import jax  # noqa: F401  (jitted closures below)
 
@@ -540,17 +542,20 @@ def flow_normalize_slide(
     params = state.ema.params if use_ema else state.params
     spectral = state.spectral
 
-    if transfer not in ("diag", "full"):
-        raise ValueError(f"transfer must be 'diag' or 'full', got {transfer!r}")
+    if transfer not in ("diag", "full", "quantile"):
+        raise ValueError(
+            f"transfer must be 'diag', 'full' or 'quantile', got {transfer!r}")
     full = transfer == "full"
+    quant = transfer == "quantile"
     key = jax.random.PRNGKey(seed + 1)
     k_tmpl, k_src, key = jax.random.split(key, 3)
     t_stats = accumulate_template_stats(
         flow, gmm, cfg, params, spectral,
         [tmpl_hsd[i : i + batch] for i in range(0, len(tmpl_hsd), batch)],
-        k_tmpl, return_usage=True, return_cov=full)
+        k_tmpl, return_usage=True, return_cov=full, return_quantiles=quant)
     mu_t, sd_t, usage_t = t_stats[:3]
     cov_t = t_stats[3] if full else None
+    q_t = t_stats[3] if quant else None
 
     slide, _ = _open(src_path)
     try:
@@ -569,9 +574,10 @@ def flow_normalize_slide(
         s_stats = accumulate_template_stats(
             flow, gmm, cfg, params, spectral,
             [src_hsd[i : i + batch] for i in range(0, len(src_hsd), batch)],
-            k_src, return_usage=True, return_cov=full)
+            k_src, return_usage=True, return_cov=full, return_quantiles=quant)
         mu_s, sd_s, usage_s = s_stats[:3]
         cov_s = s_stats[3] if full else None
+        q_s = s_stats[3] if quant else None
         # One slide-level permutation, matching the slide-level source
         # statistics above (no per-batch seams either way).
         perm = (color_eval.match_classes_by_usage(usage_s, usage_t)
@@ -585,6 +591,9 @@ def flow_normalize_slide(
             k = jax.random.fold_in(key, bi)
             hsd = rgb_to_hsd(batch_u8)
             _, _, gamma = encode(flow, gmm, params, spectral, cfg, hsd, k)
+            if quant:
+                return color_eval.image_dist_transform_quantile(
+                    hsd, gamma, q_s, q_t, perm=perm)
             if full:
                 return color_eval.image_dist_transform_full(
                     hsd, gamma, mu_s, cov_s, mu_t, cov_t, perm=perm)

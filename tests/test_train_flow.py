@@ -199,6 +199,79 @@ def test_class_color_cov_consistent_with_stats():
     assert np.linalg.eigvalsh(np.asarray(cov)).min() > 0
 
 
+def test_quantile_transfer_closes_nonaffine_shift():
+    """Per-class quantile matching (EXTENSION) recovers the template
+    distribution under a NON-AFFINE source shift — the failure mode the r4
+    probe measured (Q-Q affine residual up to 0.91 of template spread) that
+    bounds both the reference's diagonal transfer and the Monge maps."""
+    rng = np.random.default_rng(3)
+    K = 2
+    cls_t = rng.choice(K, size=(2, 32, 32))
+    g_t = np.eye(K, dtype=np.float32)[cls_t]
+    x_t = np.where(cls_t[..., None] == 0,
+                   rng.normal(0.3, 0.05, (2, 32, 32, 3)),
+                   rng.normal(0.7, 0.10, (2, 32, 32, 3))).astype(np.float32)
+    q_t, mass = color_eval.class_channel_quantiles(x_t, g_t)
+    assert np.asarray(q_t).shape == (K, 3, 33)
+    # Curves are monotone non-decreasing in p.
+    assert (np.diff(np.asarray(q_t), axis=-1) >= -1e-6).all()
+
+    # Source: the same class structure pushed through a nonlinear map.
+    cls_s = rng.choice(K, size=(2, 32, 32))
+    g_s = np.eye(K, dtype=np.float32)[cls_s]
+    base = np.where(cls_s[..., None] == 0,
+                    rng.normal(0.3, 0.05, (2, 32, 32, 3)),
+                    rng.normal(0.7, 0.10, (2, 32, 32, 3)))
+    x_s = (base ** 2 + 0.1).astype(np.float32)
+    q_s, _ = color_eval.class_channel_quantiles(x_s, g_s)
+
+    # Check the mapped HSD distribution per class (before RGB quantization)
+    # matches the template's to a few percent at every decile.
+    mapped = jax.vmap(lambda qs, qt: jax.vmap(
+        lambda a, b, xc: jnp.interp(xc, a, b),
+        in_axes=(0, 0, -1), out_axes=-1)(qs, qt, jnp.asarray(x_s)))(
+            jnp.asarray(q_s), jnp.asarray(q_t))
+    out = np.einsum("bhwk,kbhwc->bhwc", g_s, np.asarray(mapped))
+    for k in range(K):
+        got = out[cls_s == k].ravel()
+        want = x_t[cls_t == k].ravel()
+        deciles = [10, 30, 50, 70, 90]
+        err = np.abs(np.percentile(got, deciles)
+                     - np.percentile(want, deciles)).max()
+        assert err < 0.03, (k, err)
+
+    # The uint8 deployment entry point runs and returns the right shape.
+    rgb = color_eval.image_dist_transform_quantile(x_s, g_s, q_s, q_t)
+    assert rgb.shape == (2, 32, 32, 3) and rgb.dtype == jnp.uint8
+
+    # Template == source stats -> identity map (round-trip within 1 u8).
+    ident = color_eval.image_dist_transform_quantile(x_t, g_t, q_t, q_t)
+    from stainlib_tpu.ops.colorspace import hsd_to_rgb, to_uint8
+
+    direct = to_uint8(hsd_to_rgb(x_t))
+    assert np.abs(np.asarray(ident, int) - np.asarray(direct, int)).max() <= 1
+
+
+def test_quantile_transfer_empty_class_shrinks_to_global():
+    """A class with ~zero responsibility mass gets the GLOBAL quantile
+    curve (prior shrinkage) instead of unsupported noise — the measured
+    template-empty-class failure of the reference's (mu, sigma) transfer
+    (shifted centers route ~9% of pixels through a class the template
+    never uses, BASELINE.md r4)."""
+    rng = np.random.default_rng(4)
+    K = 3
+    gamma = np.zeros((1, 16, 16, K), np.float32)
+    gamma[..., 0] = 0.7
+    gamma[..., 1] = 0.3  # class 2 gets exactly zero mass
+    hsd = rng.random((1, 16, 16, 3), np.float32)
+    q, mass = color_eval.class_channel_quantiles(hsd, gamma)
+    assert float(np.asarray(mass)[2]) == 0.0
+    ones = np.ones((1, 16, 16, 1), np.float32)
+    q_glob, _ = color_eval.class_channel_quantiles(hsd, ones,
+                                                   prior_weight=0.0)
+    assert np.allclose(np.asarray(q)[2], np.asarray(q_glob)[0], atol=1e-5)
+
+
 def test_template_stats_return_cov():
     """accumulate_template_stats(return_cov=True) produces the (K,3,3)
     covariances whose diagonal matches the returned sigma^2."""
@@ -212,6 +285,14 @@ def test_template_stats_return_cov():
     var = np.einsum("kcc->kc", np.asarray(cov))
     assert np.allclose(var, np.asarray(sd) ** 2, atol=1e-4)
     assert np.isclose(float(np.sum(np.asarray(usage))), 1.0, atol=1e-5)
+
+    # Quantile accumulation: (K, 3, P) monotone curves.
+    out_q = validate_flow.accumulate_template_stats(
+        flow, gmm, CFG, state.params, state.spectral, [tmpl], KEY,
+        return_quantiles=True)
+    q = np.asarray(out_q[2])
+    assert q.shape == (CFG.n_clusters, 3, 33)
+    assert (np.diff(q, axis=-1) >= -1e-6).all()
 
 
 @pytest.mark.slow
