@@ -60,7 +60,8 @@ def parse_args(argv):
                         "share before the per-class transfer (robust to the "
                         "class permutation measured on OOD centers, "
                         "BASELINE.md r4); off = the reference's k->k mapping")
-    p.add_argument("--transfer", choices=("diag", "full", "quantile"),
+    p.add_argument("--transfer",
+                   choices=("diag", "full", "quantile", "full-quantile"),
                    default="diag",
                    help="per-class transfer: 'diag' = the reference's "
                         "per-channel (mu, sigma) affine "
@@ -69,7 +70,9 @@ def parse_args(argv):
                         "chroma per class (color_eval.monge_maps); "
                         "'quantile' = per-class quantile matching — "
                         "EXTENSION, closes the measured non-affine "
-                        "within-class shifts (BASELINE.md r4)")
+                        "within-class shifts; 'full-quantile' = Monge "
+                        "rotation then quantile correction (BASELINE.md "
+                        "r4)")
     p.add_argument("--src-stats", choices=("batch", "image"),
                    default="batch",
                    help="source statistics pooling for the flow transfer: "
@@ -161,16 +164,18 @@ def _capacity_flow_recolor(args, tmpl_tiles, log):
     tmpl_hsd = np.asarray(to_hsd(jnp.asarray(tmpl_tiles)))
     key = jax.random.PRNGKey(args.seed + 1)
     k_t, key = jax.random.split(key)
+    fq = args.transfer == "full-quantile"
     full = args.transfer == "full"
     quant = args.transfer == "quantile"
     stats = accumulate_template_stats(
         flow, gmm, cfg, params, spectral,
         [tmpl_hsd[i:i + args.batch]
          for i in range(0, len(tmpl_hsd), args.batch)], k_t,
-        return_usage=True, return_cov=full, return_quantiles=quant)
+        return_usage=True, return_cov=full or fq,
+        return_quantiles=quant or fq)
     mu_t, sd_t, usage_t = stats[:3]
-    cov_t = stats[3] if full else None
-    q_t = stats[3] if quant else None
+    cov_t = stats[3] if (full or fq) else None
+    q_t = (stats[4] if fq else stats[3]) if (quant or fq) else None
 
     per_image = args.src_stats == "image"
 
@@ -180,6 +185,10 @@ def _capacity_flow_recolor(args, tmpl_tiles, log):
         perm = (color_eval.match_classes_by_usage(
                     color_eval.class_usage(gamma), usage_t)
                 if args.class_match else None)
+        if fq:
+            mu_s, cov_s = color_eval.class_color_cov(hsd, gamma)
+            return color_eval.image_dist_transform_full_quantile(
+                hsd, gamma, mu_s, cov_s, mu_t, cov_t, q_t, perm=perm)
         if quant:
             q_s, _ = color_eval.class_channel_quantiles(hsd, gamma)
             return color_eval.image_dist_transform_quantile(

@@ -202,6 +202,64 @@ def image_dist_transform_quantile(hsd, gamma, q_src, q_tmpl, perm=None):
     return to_uint8(hsd_to_rgb(out))
 
 
+def image_dist_transform_full_quantile(hsd, gamma, mu_src, cov_src,
+                                       mu_tmpl, cov_tmpl, q_tmpl,
+                                       n_points: int = 33,
+                                       prior_weight: float = 256.0,
+                                       perm=None):
+    """Composite per-class transfer (EXTENSION): Monge rotation first, then
+    per-channel quantile matching of the rotated values onto the template's
+    curves — fixes both failure modes measured in BASELINE.md r4 (chroma
+    rotation, which per-channel maps cannot produce, and non-affine
+    marginal shifts, which affine maps cannot close). Same contract as
+    :func:`image_dist_transform`."""
+    if perm is not None:
+        mu_tmpl = jnp.asarray(mu_tmpl)[perm]
+        cov_tmpl = jnp.asarray(cov_tmpl)[perm]
+        q_tmpl = jnp.asarray(q_tmpl)[perm]
+    A = monge_maps(jnp.asarray(cov_src, jnp.float32),
+                   jnp.asarray(cov_tmpl, jnp.float32))
+    x = jnp.asarray(hsd, jnp.float32)[..., None, :] - mu_src  # (B,H,W,K,3)
+    y = jnp.einsum("bhwkc,kdc->bhwkd", x, A,
+                   precision=jax.lax.Precision.HIGHEST) + mu_tmpl
+    g = jnp.asarray(gamma, jnp.float32)
+    ps = jnp.linspace(0.0, 1.0, n_points)
+
+    def class_curve(y_k, w_k):
+        """Weighted per-channel quantiles of the class-k mapped values:
+        (N,3),(N,) -> (3,P), shrunk toward equal-weight curves of the same
+        values when the class mass is small."""
+        def chan(yc):
+            order = jnp.argsort(yc)
+            ys = yc[order]
+            ws = w_k[order]
+            cw = jnp.cumsum(ws)
+            tot = cw[-1]
+            cwm = (cw - 0.5 * ws) / jnp.maximum(tot, 1e-6)
+            # Equal-weight fallback curve for near-empty classes.
+            n = ys.shape[0]
+            cwe = (jnp.arange(n, dtype=jnp.float32) + 0.5) / n
+            lam = tot / (tot + prior_weight)
+            return (lam * jnp.interp(ps, cwm, ys)
+                    + (1.0 - lam) * jnp.interp(ps, cwe, ys))
+        return jax.vmap(chan, in_axes=1)(y_k)
+
+    K = g.shape[-1]
+    y_flat = y.reshape(-1, K, 3)
+    w_flat = g.reshape(-1, K)
+    q_y = jax.vmap(class_curve, in_axes=(1, 1))(y_flat, w_flat)  # (K,3,P)
+
+    def map_class(y_k, qs_k, qt_k):
+        return jax.vmap(
+            lambda qs, qt, yc: jnp.interp(yc, qs, qt),
+            in_axes=(0, 0, -1), out_axes=-1)(qs_k, qt_k, y_k)
+
+    mapped = jax.vmap(map_class, in_axes=(3, 0, 0), out_axes=0)(
+        y, q_y, jnp.asarray(q_tmpl, jnp.float32))  # (K,B,H,W,3)
+    out = jnp.einsum("bhwk,kbhwc->bhwc", g, mapped)
+    return to_uint8(hsd_to_rgb(out))
+
+
 def class_usage(gamma):
     """Mean responsibility share per class: (..., K) -> (K,), sums to 1.
     The histogram whose permutation across centers is the measured

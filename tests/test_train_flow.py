@@ -252,6 +252,27 @@ def test_quantile_transfer_closes_nonaffine_shift():
     assert np.abs(np.asarray(ident, int) - np.asarray(direct, int)).max() <= 1
 
 
+def test_full_quantile_transfer_identity_and_shapes():
+    """The composite Monge+quantile transfer: identity when source ==
+    template stats (round trip within 1 u8), valid uint8 output."""
+    rng = np.random.default_rng(5)
+    K = 2
+    cls = rng.choice(K, size=(2, 32, 32))
+    g = np.eye(K, dtype=np.float32)[cls]
+    x = np.where(cls[..., None] == 0,
+                 rng.normal(0.3, 0.05, (2, 32, 32, 3)),
+                 rng.normal(0.7, 0.10, (2, 32, 32, 3))).astype(np.float32)
+    mu, cov = color_eval.class_color_cov(x, g)
+    q, _ = color_eval.class_channel_quantiles(x, g)
+    out = color_eval.image_dist_transform_full_quantile(
+        x, g, mu, cov, mu, cov, q)
+    assert out.shape == (2, 32, 32, 3) and out.dtype == jnp.uint8
+    from stainlib_tpu.ops.colorspace import hsd_to_rgb, to_uint8
+
+    direct = to_uint8(hsd_to_rgb(x))
+    assert np.abs(np.asarray(out, int) - np.asarray(direct, int)).max() <= 1
+
+
 def test_quantile_transfer_empty_class_shrinks_to_global():
     """A class with ~zero responsibility mass gets the GLOBAL quantile
     curve (prior shrinkage) instead of unsupported noise — the measured
