@@ -259,22 +259,48 @@ def _train_flow_recolor(args, tmpl_tiles, log):
     params, spectral = state.params, state.spectral
     key = jax.random.PRNGKey(args.seed + 1)
     k_t, key = jax.random.split(key)
-    mu_t, sd_t, usage_t = accumulate_template_stats(
+    fq = args.transfer == "full-quantile"
+    full = args.transfer == "full"
+    quant = args.transfer == "quantile"
+    stats = accumulate_template_stats(
         flow, gmm, cfg, params, spectral,
         [tmpl_hsd[i:i + args.batch]
          for i in range(0, len(tmpl_hsd), args.batch)], k_t,
-        return_usage=True)
+        return_usage=True, return_cov=full or fq,
+        return_quantiles=quant or fq)
+    mu_t, sd_t, usage_t = stats[:3]
+    cov_t = stats[3] if (full or fq) else None
+    q_t = (stats[4] if fq else stats[3]) if (quant or fq) else None
+    per_image = args.src_stats == "image"
+
+    def transfer_one(hsd, gamma):
+        perm = (color_eval.match_classes_by_usage(
+                    color_eval.class_usage(gamma), usage_t)
+                if args.class_match else None)
+        if fq:
+            mu_s, cov_s = color_eval.class_color_cov(hsd, gamma)
+            return color_eval.image_dist_transform_full_quantile(
+                hsd, gamma, mu_s, cov_s, mu_t, cov_t, q_t, perm=perm)
+        if quant:
+            q_s, _ = color_eval.class_channel_quantiles(hsd, gamma)
+            return color_eval.image_dist_transform_quantile(
+                hsd, gamma, q_s, q_t, perm=perm)
+        if full:
+            mu_s, cov_s = color_eval.class_color_cov(hsd, gamma)
+            return color_eval.image_dist_transform_full(
+                hsd, gamma, mu_s, cov_s, mu_t, cov_t, perm=perm)
+        mu_s, sd_s = color_eval.class_color_stats(hsd, gamma)
+        return color_eval.image_dist_transform(
+            hsd, gamma, mu_s, sd_s, mu_t, sd_t, perm=perm)
 
     @jax.jit
     def recolor(batch_u8, k):
         hsd = rgb_to_hsd(batch_u8)
         _, _, gamma = encode(flow, gmm, params, spectral, cfg, hsd, k)
-        mu_s, sd_s = color_eval.class_color_stats(hsd, gamma)
-        perm = (color_eval.match_classes_by_usage(
-                    color_eval.class_usage(gamma), usage_t)
-                if args.class_match else None)
-        return color_eval.image_dist_transform(
-            hsd, gamma, mu_s, sd_s, mu_t, sd_t, perm=perm)
+        if per_image:
+            return jax.vmap(
+                lambda h, g: transfer_one(h[None], g[None])[0])(hsd, gamma)
+        return transfer_one(hsd, gamma)
 
     counter = [0]
 
