@@ -53,6 +53,8 @@ def parse_args(argv):
     p.add_argument("--raw-weights", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="/tmp/flow_transfer_probe")
+    p.add_argument("--cohort", choices=("bl", "acquisition"), default="bl",
+                   help="synthetic cohort (see data/synthetic.py)")
     p.add_argument("--cpu", action="store_true")
     return p.parse_args(argv)
 
@@ -86,14 +88,16 @@ def run(args):
 
     s = args.size
     to_hsd = jax.jit(rgb_to_hsd)
-    tmpl = center_tiles(0, args.template_tiles, s, s, seed=args.seed + 100)
+    tmpl = center_tiles(0, args.template_tiles, s, s, seed=args.seed + 100,
+                        cohort=args.cohort)
     tmpl_hsd = np.asarray(to_hsd(jnp.asarray(tmpl)))
     key = jax.random.PRNGKey(args.seed + 1)
     k_t, key = jax.random.split(key)
-    mu_t, sd_t = accumulate_template_stats(
+    _tstats = accumulate_template_stats(
         flow, gmm, cfg, params, spectral,
         [tmpl_hsd[i:i + args.batch]
          for i in range(0, len(tmpl_hsd), args.batch)], k_t)
+    mu_t, sd_t = _tstats.mu, _tstats.sigma
     mu_t_h = np.asarray(mu_t)
 
     K = cfg.n_clusters
@@ -151,7 +155,8 @@ def run(args):
     os.makedirs(args.out, exist_ok=True)
     report = {}
     for c in range(N_CENTERS):
-        tiles = center_tiles(c, args.tiles, s, s, seed=args.seed + 200)
+        tiles = center_tiles(c, args.tiles, s, s, seed=args.seed + 200,
+                             cohort=args.cohort)
         bpds, sharp, hist = [], [], np.zeros(K)
         mus, outs, cls_np, hsd_np = [], [], [], []
         for i in range(0, len(tiles), args.batch):

@@ -25,7 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def parse_args(argv):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--only", default=None,
-                   choices=[None, "macenko", "macenko512", "vahadane"])
+                   choices=[None, "macenko", "macenko512", "vahadane",
+                            "vahadane-roofline"])
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--out", default="/tmp/probe_kernels.json")
@@ -152,6 +153,67 @@ def run(args):
                       max_c_target=pv.max_c_target,
                       num_iters=it, fit_stride=fs),
                   big, args.batch)
+
+    if fam == "vahadane-roofline":
+        # Stage decomposition of the shipping fs=2/it=8 single-kernel config
+        # (VERDICT r4 item 3). The BCD share comes from the iteration-count
+        # slope; the warm-start+percentile+apply intercept compares against
+        # the same-structure Macenko kernel (identical minus BCD, plus the
+        # angle search); the fixed-matrix apply kernel is the
+        # reconstruction floor (no estimation at all).
+        from stainlib_tpu.kernels.fused_stain import fused_normalize_planar
+
+        for it in (2, 4, 8, 12):
+            probe(f"vahadane fs=2 it={it}",
+                  functools.partial(
+                      vahadane_normalize_planar,
+                      stain_matrix_tgt=pv.stain_matrix_target,
+                      max_c_target=pv.max_c_target,
+                      num_iters=it, fit_stride=2),
+                  big, args.batch)
+        for nb in (10, 14):
+            probe(f"vahadane fs=2 it=8 nb={nb}",
+                  functools.partial(
+                      vahadane_normalize_planar,
+                      stain_matrix_tgt=pv.stain_matrix_target,
+                      max_c_target=pv.max_c_target,
+                      num_iters=8, fit_stride=2, n_bisect=nb),
+                  big, args.batch)
+        for T in (2, 4):
+            try:
+                probe(f"vahadane fs=2 it=8 T={T}",
+                      functools.partial(
+                          vahadane_normalize_planar,
+                          stain_matrix_tgt=pv.stain_matrix_target,
+                          max_c_target=pv.max_c_target,
+                          num_iters=8, fit_stride=2, tiles_per_step=T),
+                      big, args.batch)
+            except Exception as e:  # VMEM OOM at high T is a finding too
+                print(f"vahadane fs=2 it=8 T={T} failed: "
+                      f"{type(e).__name__}", flush=True)
+                results[f"vahadane fs=2 it=8 T={T}"] = None
+        probe("vahadane fs=4 it=8 (estimation floor probe)",
+              functools.partial(
+                  vahadane_normalize_planar,
+                  stain_matrix_tgt=pv.stain_matrix_target,
+                  max_c_target=pv.max_c_target,
+                  num_iters=8, fit_stride=4),
+              big, args.batch)
+        probe("macenko fs=2 nb=10 (same-structure, no BCD)",
+              functools.partial(
+                  macenko_normalize_planar,
+                  stain_matrix_tgt=pm.stain_matrix_target,
+                  max_c_target=pm.max_c_target,
+                  n_bisect=10, fit_stride=2),
+              big, args.batch)
+        probe("fixed-matrix apply (reconstruction floor)",
+              functools.partial(
+                  fused_normalize_planar,
+                  stain_matrix_src=jnp.broadcast_to(
+                      pv.stain_matrix_target[None], (args.batch, 2, 3)),
+                  stain_matrix_tgt=pv.stain_matrix_target,
+                  max_c_target=pv.max_c_target),
+              big, args.batch)
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)

@@ -60,6 +60,15 @@ def parse_args(argv):
                         "share before the per-class transfer (robust to the "
                         "class permutation measured on OOD centers, "
                         "BASELINE.md r4); off = the reference's k->k mapping")
+    p.add_argument("--class-match-scope", choices=("batch", "center"),
+                   default="batch",
+                   help="granularity of --class-match: 'batch' = one perm "
+                        "per deploy batch from that batch's own gamma "
+                        "(validate_flow.deploy default; r4 measured it "
+                        "flipping identity-ordered batches); 'center' = "
+                        "pool usage over ALL of a center's tiles and use "
+                        "ONE perm per center (the flow_normalize_slide "
+                        "slide-level approach)")
     p.add_argument("--transfer",
                    choices=("diag", "full", "quantile", "full-quantile"),
                    default="diag",
@@ -80,6 +89,12 @@ def parse_args(argv):
                         "deploy batch (train_img_horo.py:703-705); 'image' "
                         "= per-image (EXTENSION — adapts per image like "
                         "Macenko's re-estimation)")
+    p.add_argument("--cohort", choices=("bl", "acquisition"), default="bl",
+                   help="synthetic cohort: 'bl' = Beer-Lambert stain shifts "
+                        "(Macenko near-oracle by construction, BASELINE.md "
+                        "r4); 'acquisition' = non-Beer-Lambert per-center "
+                        "scanner chains — the regime the reference's "
+                        "published flow>classical ordering claims")
     p.add_argument("--out", default="/tmp/seg_transfer")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
@@ -160,67 +175,7 @@ def _capacity_flow_recolor(args, tmpl_tiles, log):
     log(f"capacity flow checkpoint: step {int(state.step)}, "
         f"{'raw' if args.flow_raw_weights else 'EMA'} weights")
 
-    to_hsd = jax.jit(rgb_to_hsd)
-    tmpl_hsd = np.asarray(to_hsd(jnp.asarray(tmpl_tiles)))
-    key = jax.random.PRNGKey(args.seed + 1)
-    k_t, key = jax.random.split(key)
-    fq = args.transfer == "full-quantile"
-    full = args.transfer == "full"
-    quant = args.transfer == "quantile"
-    stats = accumulate_template_stats(
-        flow, gmm, cfg, params, spectral,
-        [tmpl_hsd[i:i + args.batch]
-         for i in range(0, len(tmpl_hsd), args.batch)], k_t,
-        return_usage=True, return_cov=full or fq,
-        return_quantiles=quant or fq)
-    mu_t, sd_t, usage_t = stats[:3]
-    cov_t = stats[3] if (full or fq) else None
-    q_t = (stats[4] if fq else stats[3]) if (quant or fq) else None
-
-    per_image = args.src_stats == "image"
-
-    def transfer_one(hsd, gamma):
-        """(B,H,W,3),(B,H,W,K) -> uint8 RGB via the selected transfer,
-        with source statistics over the leading batch axis."""
-        perm = (color_eval.match_classes_by_usage(
-                    color_eval.class_usage(gamma), usage_t)
-                if args.class_match else None)
-        if fq:
-            mu_s, cov_s = color_eval.class_color_cov(hsd, gamma)
-            return color_eval.image_dist_transform_full_quantile(
-                hsd, gamma, mu_s, cov_s, mu_t, cov_t, q_t, perm=perm)
-        if quant:
-            q_s, _ = color_eval.class_channel_quantiles(hsd, gamma)
-            return color_eval.image_dist_transform_quantile(
-                hsd, gamma, q_s, q_t, perm=perm)
-        if full:
-            mu_s, cov_s = color_eval.class_color_cov(hsd, gamma)
-            return color_eval.image_dist_transform_full(
-                hsd, gamma, mu_s, cov_s, mu_t, cov_t, perm=perm)
-        mu_s, sd_s = color_eval.class_color_stats(hsd, gamma)
-        return color_eval.image_dist_transform(
-            hsd, gamma, mu_s, sd_s, mu_t, sd_t, perm=perm)
-
-    @jax.jit
-    def recolor(batch_u8, k):
-        hsd = rgb_to_hsd(batch_u8)
-        _, _, gamma = encode(flow, gmm, params, spectral, cfg, hsd, k)
-        if per_image:
-            # Per-IMAGE source statistics (EXTENSION — the reference pools
-            # one (mu, std) per deploy batch, train_img_horo.py:703-705;
-            # per-image adapts like Macenko's per-image re-estimation).
-            return jax.vmap(
-                lambda h, g: transfer_one(h[None], g[None])[0])(hsd, gamma)
-        return transfer_one(hsd, gamma)
-
-    counter = [0]
-
-    def apply(b):
-        counter[0] += 1
-        return np.asarray(recolor(
-            jnp.asarray(b), jax.random.fold_in(key, counter[0])))
-
-    return apply
+    return _make_recolor(args, flow, gmm, cfg, params, spectral, tmpl_tiles)
 
 
 def _train_flow_recolor(args, tmpl_tiles, log):
@@ -256,7 +211,31 @@ def _train_flow_recolor(args, tmpl_tiles, log):
         if i % 100 == 0 or i == args.flow_steps - 1:
             log(f"flow step {i}: bpd {float(loss):.4f}")
 
-    params, spectral = state.params, state.spectral
+    return _make_recolor(args, flow, gmm, cfg, state.params, state.spectral,
+                         tmpl_tiles)
+
+
+def _make_recolor(args, flow, gmm, cfg, params, spectral, tmpl_tiles):
+    """Shared deploy tail of the two flow conditions: template statistics
+    once, then a per-batch ``apply`` closure running the selected transfer.
+
+    ``--class-match-scope center`` attaches a ``begin_group(tiles)`` hook
+    that ``run()`` calls once per center: class usage is pooled over ALL of
+    the group's tiles and ONE permutation is used for every batch of that
+    center (the ``flow_normalize_slide`` slide-level approach) — r4
+    measured the default per-BATCH matching flipping identity-ordered
+    batches (BASELINE.md r4: center 1 mIoU 0.93 -> 0.59)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stainlib_tpu.models import color_eval
+    from stainlib_tpu.models.train_flow import encode
+    from stainlib_tpu.models.validate_flow import accumulate_template_stats
+    from stainlib_tpu.ops.colorspace import rgb_to_hsd
+
+    to_hsd = jax.jit(rgb_to_hsd)
+    tmpl_hsd = np.asarray(to_hsd(jnp.asarray(tmpl_tiles)))
     key = jax.random.PRNGKey(args.seed + 1)
     k_t, key = jax.random.split(key)
     fq = args.transfer == "full-quantile"
@@ -266,17 +245,18 @@ def _train_flow_recolor(args, tmpl_tiles, log):
         flow, gmm, cfg, params, spectral,
         [tmpl_hsd[i:i + args.batch]
          for i in range(0, len(tmpl_hsd), args.batch)], k_t,
-        return_usage=True, return_cov=full or fq,
-        return_quantiles=quant or fq)
-    mu_t, sd_t, usage_t = stats[:3]
-    cov_t = stats[3] if (full or fq) else None
-    q_t = (stats[4] if fq else stats[3]) if (quant or fq) else None
+        return_cov=full or fq, return_quantiles=quant or fq)
+    mu_t, sd_t, usage_t = stats.mu, stats.sigma, stats.usage
+    cov_t, q_t = stats.cov, stats.quantiles
     per_image = args.src_stats == "image"
+    center_scope = args.class_match and args.class_match_scope == "center"
 
-    def transfer_one(hsd, gamma):
-        perm = (color_eval.match_classes_by_usage(
-                    color_eval.class_usage(gamma), usage_t)
-                if args.class_match else None)
+    def transfer_one(hsd, gamma, perm):
+        """(B,H,W,3),(B,H,W,K) -> uint8 RGB via the selected transfer,
+        with source statistics over the leading batch axis."""
+        if perm is None and args.class_match and not center_scope:
+            perm = color_eval.match_classes_by_usage(
+                color_eval.class_usage(gamma), usage_t)
         if fq:
             mu_s, cov_s = color_eval.class_color_cov(hsd, gamma)
             return color_eval.image_dist_transform_full_quantile(
@@ -293,22 +273,48 @@ def _train_flow_recolor(args, tmpl_tiles, log):
         return color_eval.image_dist_transform(
             hsd, gamma, mu_s, sd_s, mu_t, sd_t, perm=perm)
 
-    @jax.jit
-    def recolor(batch_u8, k):
+    def _recolor(batch_u8, k, perm=None):
         hsd = rgb_to_hsd(batch_u8)
         _, _, gamma = encode(flow, gmm, params, spectral, cfg, hsd, k)
         if per_image:
-            return jax.vmap(
-                lambda h, g: transfer_one(h[None], g[None])[0])(hsd, gamma)
-        return transfer_one(hsd, gamma)
+            # Per-IMAGE source statistics (EXTENSION — the reference pools
+            # one (mu, std) per deploy batch, train_img_horo.py:703-705;
+            # per-image adapts like Macenko's per-image re-estimation).
+            return jax.vmap(lambda h, g: transfer_one(
+                h[None], g[None], perm)[0])(hsd, gamma)
+        return transfer_one(hsd, gamma, perm)
 
+    recolor = jax.jit(_recolor)
+    recolor_perm = jax.jit(_recolor)  # perm passed as a traced (K,) array
+
+    enc = jax.jit(
+        lambda hsd, k: encode(flow, gmm, params, spectral, cfg, hsd, k))
+    group_perm = [None]
     counter = [0]
+
+    def begin_group(tiles_u8):
+        """Pool class usage over one center's tiles -> ONE permutation."""
+        if not center_scope:
+            return
+        hsd = np.asarray(to_hsd(jnp.asarray(tiles_u8)))
+        w_sum = None
+        for i in range(0, len(hsd), args.batch):
+            counter[0] += 1
+            _, _, gamma = enc(jnp.asarray(hsd[i:i + args.batch]),
+                              jax.random.fold_in(key, counter[0]))
+            w = jnp.sum(gamma, axis=(0, 1, 2))
+            w_sum = w if w_sum is None else w_sum + w
+        group_perm[0] = jnp.asarray(color_eval.match_classes_by_usage(
+            w_sum / jnp.maximum(jnp.sum(w_sum), 1e-12), usage_t))
 
     def apply(b):
         counter[0] += 1
-        return np.asarray(recolor(
-            jnp.asarray(b), jax.random.fold_in(key, counter[0])))
+        k = jax.random.fold_in(key, counter[0])
+        if center_scope and group_perm[0] is not None:
+            return np.asarray(recolor_perm(jnp.asarray(b), k, group_perm[0]))
+        return np.asarray(recolor(jnp.asarray(b), k))
 
+    apply.begin_group = begin_group
     return apply
 
 
@@ -337,15 +343,20 @@ def run(args):
     log = lambda m: print(m, flush=True)  # noqa: E731
     s = args.size
     train_tiles, train_masks = center_tiles_with_masks(
-        0, args.train_tiles, s, s, seed=args.seed + 100)
+        0, args.train_tiles, s, s, seed=args.seed + 100, cohort=args.cohort)
     eval_sets = [center_tiles_with_masks(c, args.eval_tiles, s, s,
-                                         seed=args.seed + 200)
+                                         seed=args.seed + 200,
+                                         cohort=args.cohort)
                  for c in range(N_CENTERS)]
 
     conds = _make_normalizers(args, train_tiles, log)
     results = {}
     for name, norm in conds.items():
         log(f"== condition: {name}")
+        # Per-group hook (flow condition, --class-match-scope center):
+        # pools usage over the group's tiles before its batches recolor.
+        begin_group = getattr(norm, "begin_group", lambda tiles: None)
+        begin_group(train_tiles)
         tr = np.concatenate([norm(train_tiles[i:i + args.batch])
                              for i in range(0, len(train_tiles), args.batch)])
         predict, _ = train_segmenter(
@@ -354,6 +365,7 @@ def run(args):
             n_classes=N_SEG_CLASSES, seed=args.seed, log=log)
         per_center = []
         for c, (tiles, masks) in enumerate(eval_sets):
+            begin_group(tiles)
             out = np.concatenate([norm(tiles[i:i + args.batch])
                                   for i in range(0, len(tiles), args.batch)])
             pred = np.concatenate(
@@ -368,7 +380,7 @@ def run(args):
         }
 
     summary = {"size": s, "seg_steps": args.seg_steps,
-               "conditions": results}
+               "cohort": args.cohort, "conditions": results}
     print(json.dumps(summary))
     if args.out:
         os.makedirs(args.out, exist_ok=True)

@@ -56,6 +56,13 @@ def parse_args(argv):
                         "(BASELINE.md r4 seg-transfer mechanism)")
     p.add_argument("--train-pool", type=int, default=0,
                    help="training tiles per center (0 = template pool size)")
+    p.add_argument("--cohort", choices=("bl", "acquisition"), default="bl",
+                   help="synthetic cohort: 'bl' = Beer-Lambert stain shifts "
+                        "(Macenko's own model class — near-oracle for it, "
+                        "BASELINE.md r4); 'acquisition' = non-Beer-Lambert "
+                        "per-center scanner chains (tone curves, sensor "
+                        "saturation, defocus, JPEG) — the inter-lab regime "
+                        "the reference claims for the learned flow")
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--out", default="/tmp/flow_capacity")
     p.add_argument("--seed", type=int, default=0)
@@ -105,7 +112,8 @@ def run(args):
     os.makedirs(args.out, exist_ok=True)
 
     n_tmpl = args.template_tiles or max(args.batch * 4, 32)
-    tmpl_tiles = center_tiles(0, n_tmpl, s, s, seed=args.seed + 100)
+    tmpl_tiles = center_tiles(0, n_tmpl, s, s, seed=args.seed + 100,
+                              cohort=args.cohort)
     to_hsd = jax.jit(rgb_to_hsd)
     tmpl_hsd = np.asarray(to_hsd(jnp.asarray(tmpl_tiles)))
 
@@ -123,7 +131,8 @@ def run(args):
         pools = []
         for c in train_centers:
             pools.append(tmpl_tiles if c == 0 else center_tiles(
-                c, per_center, s, s, seed=args.seed + 100 + 7 * c))
+                c, per_center, s, s, seed=args.seed + 100 + 7 * c,
+                cohort=args.cohort))
         train_hsd = np.concatenate(
             [np.asarray(to_hsd(jnp.asarray(t))) for t in pools])
     print(f"training pool: {len(train_hsd)} tiles from centers "
@@ -206,6 +215,7 @@ def run(args):
     assert np.isfinite(resumed_bpd)
 
     summary = {
+        "cohort": args.cohort,
         "params": n_params, "image_size": s, "batch": args.batch,
         "steps": args.steps, "imgs_per_s": round(imgs_s, 1),
         "ms_per_step": round(dt / (args.steps - 1) * 1e3, 1),
@@ -217,7 +227,7 @@ def run(args):
         # NMI before/after at full 256^2 eval tiles over every center.
         test_rgb, _ = multi_center_batches(
             range(N_CENTERS), args.tiles_per_center, args.batch, s, s,
-            seed=args.seed + 200)
+            seed=args.seed + 200, cohort=args.cohort)
         raw = []
         for b in test_rgb:
             masks = np.asarray(tissue_mask(jnp.asarray(b)).mask)

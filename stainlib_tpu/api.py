@@ -65,6 +65,20 @@ def _use_fused(I) -> bool:
             and n_pixels <= 512 * 512)
 
 
+def _fast_fit_kwargs(I, method: str) -> dict:
+    """Estimation-subsample knobs for the fused route, applied only where
+    their fidelity is PROVEN: at >=256^2 the fs=2 fast configs are
+    validated max-1-uint8 / 0%-over vs the functional path (BASELINE.md r4
+    probe grid; `validate_tpu.py` macenko-fast / vahadane-fast gates pin it
+    on hardware every run). Below 256^2 the measured bound is looser (up to
+    3 u8 on ~15% of 128^2 pixels), so smaller tiles keep the bit-exact
+    full-resolution fit (fit_stride=1)."""
+    if I.shape[0] * I.shape[1] < 256 * 256:
+        return {}
+    return (dict(fit_stride=2, n_bisect=10) if method == "macenko"
+            else dict(fit_stride=2, num_iters=8))
+
+
 def _use_tiled(I) -> bool:
     """Fields beyond the fused kernels' VMEM reach still get a fused apply
     on TPU: estimate once on the whole field (functional streaming
@@ -172,7 +186,8 @@ class ExtractiveStainNormalizer:
                      else vahadane_normalize)
             out = fused(jnp.asarray(I)[None],
                         self._params.stain_matrix_target,
-                        self._params.max_c_target)[0]
+                        self._params.max_c_target,
+                        **_fast_fit_kwargs(I, self.method))[0]
         elif _use_tiled(I):
             out = _extractive.transform_tiled_jit(
                 self._params, jnp.asarray(I), method=self.method)

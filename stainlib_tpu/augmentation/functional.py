@@ -299,6 +299,11 @@ def stain_augment(rgb, key, method: str = "macenko", sigma1: float = 0.2,
             batch = to_uint8(batch)
         B, H, W, _ = batch.shape
         M = _EXTRACTORS[method.lower()](batch)
+        # All-background fields extract NaN rows; fall back to the Ruifrok
+        # prior so the reconstruction passes the field through (the same
+        # guard as stain_augment_fit above).
+        prior = jnp.broadcast_to(jnp.asarray(_HE_INIT, jnp.float32), M.shape)
+        M = jnp.where(jnp.isnan(M), prior, M)
         k_a, k_b = jax.random.split(key)
         alpha = jax.random.uniform(k_a, lead + (2,), jnp.float32,
                                    1.0 - sigma1, 1.0 + sigma1).reshape(-1, 2)

@@ -397,9 +397,15 @@ def _stride_rows(x, stride: int):
     # 32 tile-aligned blocks sample every 16th image row instead.
     bs = 8
     blocks = min(max(n // bs, 1), 32)  # cap the concatenate fan-in
-    while blocks > 1 and (n % blocks or (r // blocks) % 8):
+    while blocks > 1 and (n % blocks or (r // blocks) % 8
+                          or (n // blocks) % 8):
         blocks //= 2
     bs, step = n // blocks, r // blocks
+    if bs % 8 or step % 8:
+        # No sublane-aligned split exists (non-power-of-two planar row
+        # counts, e.g. R=800/fs=2): fall back to the full-resolution fit
+        # rather than pay Mosaic relayouts on unaligned slice lengths.
+        return x
     return jnp.concatenate([x[i * step: i * step + bs]
                             for i in range(blocks)])
 

@@ -20,12 +20,15 @@ of template/test/converted images and class-membership maps.
 from __future__ import annotations
 
 import csv
+import functools
 import os
-from typing import Iterable, Optional
+from typing import Any, Iterable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from stainlib_tpu.models import color_eval
 from stainlib_tpu.models.train_flow import FlowConfig, encode
@@ -34,57 +37,137 @@ from stainlib_tpu.ops.tissue import tissue_mask
 from stainlib_tpu.utils.meters import Throughput
 
 
+class TemplateSums(NamedTuple):
+    """Sum-decomposable template-statistic state (``train_img_horo.py:
+    676-727``): additive across batches AND across data-parallel shards —
+    exactly what the reference allreduces (``hvd.allreduce`` of the
+    stat sums, ``:742-748``; here :func:`collectives.psum_stats`).
+    ``xxT``/``wq`` are the r4 extension accumulators (full covariance /
+    quantile barycenter) and are ``None`` unless requested."""
+
+    w: Any            # (K,)   responsibility mass
+    x: Any            # (K,3)  gamma-weighted HSD sum
+    xx: Any           # (K,3)  gamma-weighted HSD^2 sum
+    xxT: Any = None   # (K,3,3) gamma-weighted outer-product sum
+    wq: Any = None    # (K,3,P) mass-weighted quantile-curve sum
+
+
+class TemplateStats(NamedTuple):
+    """Finalized template statistics. ``usage`` is always present (free —
+    it is ``w`` normalized); ``cov``/``quantiles`` are ``None`` unless the
+    matching accumulator was requested. Named fields replace the r4
+    flag-dependent positional tuple (ADVICE r4: ``stats[3]`` meant
+    covariances in one caller and quantile curves in another)."""
+
+    mu: Any                 # (K,3)
+    sigma: Any              # (K,3)
+    usage: Any = None       # (K,)
+    cov: Any = None         # (K,3,3)
+    quantiles: Any = None   # (K,3,P)
+
+
+def _batch_sums(flow, gmm, cfg, params, spectral, hsd, key,
+                with_cov: bool, with_quantiles: bool) -> TemplateSums:
+    """One batch's contribution to the template sums (pure; jit/shard_map
+    safe — gamma is key-independent, the key only drives the stochastic
+    logdet estimator inside ``encode``)."""
+    _, _, gamma = encode(flow, gmm, params, spectral, cfg, hsd, key)
+    w = jnp.sum(gamma, axis=(0, 1, 2))  # (K,)
+    x = jnp.einsum("bhwk,bhwc->kc", gamma, hsd)
+    xx = jnp.einsum("bhwk,bhwc->kc", gamma, hsd * hsd)
+    xxT = (jnp.einsum("bhwk,bhwc,bhwd->kcd", gamma, hsd, hsd)
+           if with_cov else None)
+    wq = None
+    if with_quantiles:
+        q_b, m_b = color_eval.class_channel_quantiles(hsd, gamma)
+        wq = m_b[:, None, None] * q_b
+    return TemplateSums(w, x, xx, xxT, wq)
+
+
+def accumulate_template_sums(flow, gmm, cfg: FlowConfig, params, spectral,
+                             template_batches: Iterable, key,
+                             with_cov: bool = False,
+                             with_quantiles: bool = False) -> TemplateSums:
+    """Template-sum accumulation over all template batches — the running
+    sums of ``train_img_horo.py:676-727`` before their allreduce. Under
+    multi-host SPMD, psum the result over the 'data' axis
+    (:func:`stainlib_tpu.parallel.collectives.psum_stats`) before
+    :func:`finalize_stats`, or use :func:`template_sums_sharded`."""
+    fn = jax.jit(functools.partial(
+        _batch_sums, flow, gmm, cfg, params, spectral,
+        with_cov=with_cov, with_quantiles=with_quantiles))
+    sums = None
+    for hsd in template_batches:
+        key, sub = jax.random.split(key)
+        s = fn(jnp.asarray(hsd, jnp.float32), sub)
+        sums = s if sums is None else jax.tree.map(jnp.add, sums, s)
+    return sums
+
+
+def template_sums_sharded(flow, gmm, cfg: FlowConfig, params, spectral,
+                          hsd, key, mesh, axis_name: str = "data",
+                          with_cov: bool = False,
+                          with_quantiles: bool = False) -> TemplateSums:
+    """One global template batch SHARDED over ``mesh[axis_name]``: each
+    shard encodes its local tiles and computes local sums, then the sums
+    are allreduced in-program (``psum_stats`` — the ``hvd.allreduce`` of
+    the reference's template statistics, ``train_img_horo.py:742-748``).
+    Returns replicated :class:`TemplateSums` equal to the single-device
+    accumulation over the same tiles (gamma is key-independent and
+    batch-split exact; only f32 reduction order differs)."""
+    from stainlib_tpu.parallel.collectives import psum_stats
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(axis_name), P()),
+        out_specs=P(), check_vma=False)
+    def go(p, sp, hsd_shard, k):
+        s = _batch_sums(flow, gmm, cfg, p, sp, hsd_shard, k,
+                        with_cov=with_cov, with_quantiles=with_quantiles)
+        return psum_stats(s, axis_name)
+
+    hsd = jax.device_put(jnp.asarray(hsd, jnp.float32),
+                         NamedSharding(mesh, P(axis_name)))
+    return go(params, spectral, hsd, key)
+
+
+def finalize_stats(sums: TemplateSums, eps: float = 1e-6) -> TemplateStats:
+    """:class:`TemplateSums` (after any psum) -> :class:`TemplateStats`."""
+    mu, sigma = finalize_template_stats(sums.w, sums.x, sums.xx, eps)
+    usage = sums.w / jnp.maximum(jnp.sum(sums.w), 1e-12)
+    cov = None
+    if sums.xxT is not None:
+        tot = jnp.maximum(sums.w, eps)[:, None, None]
+        cov = sums.xxT / tot - mu[:, :, None] * mu[:, None, :] \
+            + 1e-6 * jnp.eye(3)
+    quantiles = None
+    if sums.wq is not None:
+        quantiles = sums.wq / jnp.maximum(sums.w, eps)[:, None, None]
+    return TemplateStats(mu, sigma, usage, cov, quantiles)
+
+
 def accumulate_template_stats(flow, gmm, cfg: FlowConfig, params, spectral,
                               template_batches: Iterable, key,
-                              return_usage: bool = False,
+                              return_usage: bool = True,
                               return_cov: bool = False,
-                              return_quantiles: bool = False):
+                              return_quantiles: bool = False
+                              ) -> TemplateStats:
     """Running-mean template statistics over all template batches
-    (``train_img_horo.py:676-727``): returns (mu, sigma) of shape (K, 3);
-    with ``return_usage`` also the (K,) class-usage shares (for
+    (``train_img_horo.py:676-727``): a :class:`TemplateStats` with
+    (mu, sigma) of shape (K, 3) and the (K,) class-usage shares (for
     :func:`color_eval.match_classes_by_usage`); with ``return_cov`` also
     the (K, 3, 3) full per-class covariances (EXTENSION — feeds
     :func:`color_eval.image_dist_transform_full`); with
     ``return_quantiles`` also the (K, 3, P) per-class quantile curves
     (EXTENSION — feeds :func:`color_eval.image_dist_transform_quantile`;
     mass-weighted average of per-batch curves, i.e. their Wasserstein
-    barycenter)."""
-    sum_w = None
-    sum_x = None
-    sum_xx = None
-    sum_xxT = None
-    sum_wq = None
-    enc = jax.jit(
-        lambda hsd, k: encode(flow, gmm, params, spectral, cfg, hsd, k)
-    )
-    for hsd in template_batches:
-        hsd = jnp.asarray(hsd, jnp.float32)
-        key, sub = jax.random.split(key)
-        _, _, gamma = enc(hsd, sub)
-        w = jnp.sum(gamma, axis=(0, 1, 2))  # (K,)
-        x = jnp.einsum("bhwk,bhwc->kc", gamma, hsd)
-        xx = jnp.einsum("bhwk,bhwc->kc", gamma, hsd * hsd)
-        sum_w = w if sum_w is None else sum_w + w
-        sum_x = x if sum_x is None else sum_x + x
-        sum_xx = xx if sum_xx is None else sum_xx + xx
-        if return_cov:
-            xxT = jnp.einsum("bhwk,bhwc,bhwd->kcd", gamma, hsd, hsd)
-            sum_xxT = xxT if sum_xxT is None else sum_xxT + xxT
-        if return_quantiles:
-            q_b, m_b = color_eval.class_channel_quantiles(hsd, gamma)
-            wq = m_b[:, None, None] * q_b
-            sum_wq = wq if sum_wq is None else sum_wq + wq
-    mu, sigma = finalize_template_stats(sum_w, sum_x, sum_xx)
-    out = [mu, sigma]
-    if return_usage:
-        out.append(sum_w / jnp.maximum(jnp.sum(sum_w), 1e-12))
-    if return_cov:
-        tot = jnp.maximum(sum_w, 1e-6)[:, None, None]
-        cov = sum_xxT / tot - mu[:, :, None] * mu[:, None, :]
-        out.append(cov + 1e-6 * jnp.eye(3))
-    if return_quantiles:
-        out.append(sum_wq / jnp.maximum(sum_w, 1e-6)[:, None, None])
-    return tuple(out) if len(out) > 2 else (mu, sigma)
+    barycenter). ``return_usage`` is kept for signature compatibility;
+    usage is always computed (it is free)."""
+    del return_usage
+    sums = accumulate_template_sums(
+        flow, gmm, cfg, params, spectral, template_batches, key,
+        with_cov=return_cov, with_quantiles=return_quantiles)
+    return finalize_stats(sums)
 
 
 def finalize_template_stats(sum_w, sum_x, sum_xx, eps: float = 1e-6):
@@ -98,7 +181,7 @@ def finalize_template_stats(sum_w, sum_x, sum_xx, eps: float = 1e-6):
 
 def deploy(flow, gmm, cfg: FlowConfig, params, spectral, test_batches,
            mu_tmpl, sigma_tmpl, key, log=print, usage_tmpl=None,
-           cov_tmpl=None, q_tmpl=None):
+           cov_tmpl=None, q_tmpl=None, pooled_usage: bool = False):
     """DEPLOY pass: recolor every test batch toward the template and collect
     per-image NMI of the recolored output (``train_img_horo.py:750-862``).
 
@@ -126,10 +209,31 @@ def deploy(flow, gmm, cfg: FlowConfig, params, spectral, test_batches,
     (:func:`color_eval.image_dist_transform_quantile` — EXTENSION, closes
     the measured non-affine within-class shifts); takes precedence over
     ``cov_tmpl``.
+
+    ``pooled_usage`` (with ``usage_tmpl``): accumulate class usage over ALL
+    test batches first and use ONE permutation for the whole deploy set —
+    the slide-level approach of ``flow_normalize_slide``
+    (``slide.py``: one perm from slide-level accumulated usage). Per-BATCH
+    matching (the default) recomputes the perm from each batch's own gamma,
+    which r4 measured flipping identity-ordered batches
+    (BASELINE.md r4: center 1 mIoU 0.93 -> 0.59); pooled matching is the
+    stable granularity. Costs one extra encode pass over the test set.
     """
     enc = jax.jit(
         lambda hsd, k: encode(flow, gmm, params, spectral, cfg, hsd, k)
     )
+    perm_pooled = None
+    if pooled_usage and usage_tmpl is not None:
+        test_batches = [jnp.asarray(b, jnp.float32) for b in test_batches]
+        k_pool = key
+        w_sum = None
+        for hsd in test_batches:
+            k_pool, sub = jax.random.split(k_pool)
+            _, _, gamma = enc(hsd, sub)
+            w = jnp.sum(gamma, axis=(0, 1, 2))
+            w_sum = w if w_sum is None else w_sum + w
+        perm_pooled = color_eval.match_classes_by_usage(
+            w_sum / jnp.maximum(jnp.sum(w_sum), 1e-12), usage_tmpl)
     nmis = []
     outs = []
     class_nmis = []  # (B, K) per batch — the reference's per-class metric
@@ -142,7 +246,8 @@ def deploy(flow, gmm, cfg: FlowConfig, params, spectral, test_batches,
         # Source stats pooled over the batch — exactly the reference: the
         # GMM head returns ONE (mu, std) per deploy batch
         # (train_img_horo.py:703-705, applied at :815).
-        perm = (color_eval.match_classes_by_usage(
+        perm = (perm_pooled if perm_pooled is not None
+                else color_eval.match_classes_by_usage(
                     color_eval.class_usage(gamma), usage_tmpl)
                 if usage_tmpl is not None else None)
         if q_tmpl is not None:
@@ -177,7 +282,9 @@ def deploy(flow, gmm, cfg: FlowConfig, params, spectral, test_batches,
 def validate(flow, gmm, cfg: FlowConfig, params, spectral,
              template_batches, test_batches, key,
              out_dir: Optional[str] = None, log=print,
-             class_match: bool = False, transfer: str = "diag"):
+             class_match: bool = False, transfer: str = "diag",
+             mesh=None, axis_name: str = "data",
+             pooled_class_match: bool = False):
     """Full validate(): template stats -> deploy -> NMI SD/CV (+ CSV).
     ``class_match`` enables usage-rank class matching at deploy (see
     :func:`deploy`); off = the reference's k -> k mapping.
@@ -185,23 +292,39 @@ def validate(flow, gmm, cfg: FlowConfig, params, spectral,
     (``train_img_horo.py:815``); 'full' = per-class Monge maps
     (EXTENSION — :func:`color_eval.image_dist_transform_full`);
     'quantile' = per-class quantile matching (EXTENSION —
-    :func:`color_eval.image_dist_transform_quantile`)."""
+    :func:`color_eval.image_dist_transform_quantile`).
+    ``mesh``: when given, each template batch is SHARDED over
+    ``mesh[axis_name]`` and its statistic sums are allreduced in-program
+    (:func:`template_sums_sharded`) — the reference's data-parallel
+    template pass with its ``hvd.allreduce`` (``train_img_horo.py:
+    742-748``); the batch size must divide by the axis size."""
     if transfer not in ("diag", "full", "quantile"):
         raise ValueError(
             f"transfer must be 'diag', 'full' or 'quantile', got {transfer!r}")
     k1, k2 = jax.random.split(key)
-    stats = accumulate_template_stats(
-        flow, gmm, cfg, params, spectral, template_batches, k1,
-        return_usage=True, return_cov=transfer == "full",
-        return_quantiles=transfer == "quantile"
-    )
-    mu_t, sd_t, usage_t = stats[:3]
+    if mesh is not None:
+        sums = None
+        for hsd in template_batches:
+            k1, sub = jax.random.split(k1)
+            s = template_sums_sharded(
+                flow, gmm, cfg, params, spectral, hsd, sub, mesh,
+                axis_name=axis_name, with_cov=transfer == "full",
+                with_quantiles=transfer == "quantile")
+            sums = s if sums is None else jax.tree.map(jnp.add, sums, s)
+        stats = finalize_stats(sums)
+    else:
+        stats = accumulate_template_stats(
+            flow, gmm, cfg, params, spectral, template_batches, k1,
+            return_cov=transfer == "full",
+            return_quantiles=transfer == "quantile"
+        )
+    mu_t, sd_t = stats.mu, stats.sigma
     nmis, outs, (cls_nmi, cls_nmi_raw) = deploy(
         flow, gmm, cfg, params, spectral, test_batches,
         mu_t, sd_t, k2, log=log,
-        usage_tmpl=usage_t if class_match else None,
-        cov_tmpl=stats[3] if transfer == "full" else None,
-        q_tmpl=stats[3] if transfer == "quantile" else None)
+        usage_tmpl=stats.usage if class_match else None,
+        cov_tmpl=stats.cov, q_tmpl=stats.quantiles,
+        pooled_usage=pooled_class_match)
     sd, cv = color_eval.nmi_sd_cv(nmis)
     # The reference metric: per-class SD/CV averaged across classes
     # (train_img_horo.py:865-898), before and after recoloring.

@@ -552,10 +552,9 @@ def flow_normalize_slide(
     t_stats = accumulate_template_stats(
         flow, gmm, cfg, params, spectral,
         [tmpl_hsd[i : i + batch] for i in range(0, len(tmpl_hsd), batch)],
-        k_tmpl, return_usage=True, return_cov=full, return_quantiles=quant)
-    mu_t, sd_t, usage_t = t_stats[:3]
-    cov_t = t_stats[3] if full else None
-    q_t = t_stats[3] if quant else None
+        k_tmpl, return_cov=full, return_quantiles=quant)
+    mu_t, sd_t, usage_t = t_stats.mu, t_stats.sigma, t_stats.usage
+    cov_t, q_t = t_stats.cov, t_stats.quantiles
 
     slide, _ = _open(src_path)
     try:
@@ -574,10 +573,9 @@ def flow_normalize_slide(
         s_stats = accumulate_template_stats(
             flow, gmm, cfg, params, spectral,
             [src_hsd[i : i + batch] for i in range(0, len(src_hsd), batch)],
-            k_src, return_usage=True, return_cov=full, return_quantiles=quant)
-        mu_s, sd_s, usage_s = s_stats[:3]
-        cov_s = s_stats[3] if full else None
-        q_s = s_stats[3] if quant else None
+            k_src, return_cov=full, return_quantiles=quant)
+        mu_s, sd_s, usage_s = s_stats.mu, s_stats.sigma, s_stats.usage
+        cov_s, q_s = s_stats.cov, s_stats.quantiles
         # One slide-level permutation, matching the slide-level source
         # statistics above (no per-batch seams either way).
         perm = (color_eval.match_classes_by_usage(usage_s, usage_t)

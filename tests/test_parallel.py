@@ -152,3 +152,72 @@ def test_capacity_config_compiles_8way():
     batch = jnp.asarray(np.tile(sample, (2, 1, 1, 1)))  # 2 per device
     compiled = step.lower(state, batch).compile()
     assert compiled is not None
+
+
+def test_template_sums_psum_matches_single_device():
+    """VERDICT r4 item 6: the extended template statistics (incl. the r4
+    covariance `xxT` and quantile-barycenter `wq` accumulators) driven
+    through the 8-device mesh — per-shard encode -> local sums ->
+    `psum_stats` allreduce (the hvd.allreduce of train_img_horo.py:742-748)
+    must reproduce the single-device accumulation at matching batch
+    granularity (2 tiles per shard == 2-tile host batches; gamma is
+    key-independent and batch-split exact, so only f32 reduction order
+    differs)."""
+    from stainlib_tpu.models.train_flow import FlowConfig, init_flow_state
+    from stainlib_tpu.models.validate_flow import (
+        accumulate_template_sums, finalize_stats, template_sums_sharded)
+
+    cfg = FlowConfig(image_size=16, n_scales=1, blocks_per_scale=1, hidden=8,
+                     n_power_series=2, n_clusters=3, lr=1e-3, warmup_iters=2)
+    key = jax.random.PRNGKey(0)
+    flow, gmm, state, _ = init_flow_state(cfg, key)
+    hsd = np.random.default_rng(3).random((16, 16, 16, 3)).astype(np.float32)
+
+    mesh = make_mesh(8, data=8)
+    k = jax.random.PRNGKey(7)
+    sharded = template_sums_sharded(
+        flow, gmm, cfg, state.params, state.spectral, hsd, k, mesh,
+        with_cov=True, with_quantiles=True)
+    single = accumulate_template_sums(
+        flow, gmm, cfg, state.params, state.spectral,
+        [hsd[i:i + 2] for i in range(0, 16, 2)], k,
+        with_cov=True, with_quantiles=True)
+
+    for name, a, b in zip(sharded._fields, sharded, single):
+        assert (a is None) == (b is None), name
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-4, err_msg=name)
+
+    st_sh, st_si = finalize_stats(sharded), finalize_stats(single)
+    for name, a, b in zip(st_sh._fields, st_sh, st_si):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-4, err_msg=name)
+    assert np.asarray(st_sh.cov).shape == (3, 3, 3)
+    assert np.asarray(st_sh.quantiles).shape[0] == 3
+
+
+def test_validate_mesh_template_pass():
+    """validate(mesh=...) runs the template pass sharded (psum'd sums) and
+    produces the same metric keys as the single-device path; mu/sigma agree
+    with the single-device template statistics."""
+    from stainlib_tpu.models.train_flow import FlowConfig, init_flow_state
+    from stainlib_tpu.models.validate_flow import validate
+
+    cfg = FlowConfig(image_size=16, n_scales=1, blocks_per_scale=1, hidden=8,
+                     n_power_series=2, n_clusters=3, lr=1e-3, warmup_iters=2)
+    flow, gmm, state, _ = init_flow_state(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    tmpl = rng.random((8, 16, 16, 3)).astype(np.float32)
+    test = rng.random((8, 16, 16, 3)).astype(np.float32) * 0.8 + 0.1
+    mesh = make_mesh(8, data=8)
+    kwargs = dict(log=lambda *_: None, transfer="full")
+    res_mesh = validate(flow, gmm, cfg, state.params, state.spectral,
+                        [tmpl], [test], jax.random.PRNGKey(1),
+                        mesh=mesh, **kwargs)
+    res_one = validate(flow, gmm, cfg, state.params, state.spectral,
+                       [tmpl], [test], jax.random.PRNGKey(1), **kwargs)
+    np.testing.assert_allclose(res_mesh["mu_tmpl"], res_one["mu_tmpl"],
+                               rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(res_mesh["sigma_tmpl"], res_one["sigma_tmpl"],
+                               rtol=2e-5, atol=1e-4)
+    assert np.isfinite(res_mesh["nmi_sd"])

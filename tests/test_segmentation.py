@@ -68,3 +68,26 @@ def test_normalization_closes_cross_center_miou_gap(tmp_path):
     assert (s["macenko"]["shifted_mean_miou"]
             > s["raw"]["shifted_mean_miou"] + 0.1), s
     assert s["macenko"]["shifted_mean_miou"] > 0.55, s
+
+
+@pytest.mark.slow
+def test_seg_demo_flow_center_scope_class_match(tmp_path):
+    """--class-match --class-match-scope center: the flow condition pools
+    usage per center (ONE perm, the slide-level granularity — VERDICT r4
+    item 4) and the demo runs end to end with the quantile transfer."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    from seg_transfer_demo import parse_args, run
+
+    args = parse_args([
+        "--size", "32", "--train-tiles", "24", "--eval-tiles", "8",
+        "--seg-steps", "40", "--seg-base", "4", "--seg-depth", "2",
+        "--methods", "flow", "--flow-steps", "30", "--flow-hidden", "8",
+        "--flow-scales", "1", "--flow-blocks", "1", "--flow-clusters", "3",
+        "--class-match", "--class-match-scope", "center",
+        "--transfer", "quantile", "--out", str(tmp_path),
+    ])
+    s = run(args)["conditions"]
+    assert "flow" in s and len(s["flow"]["per_center"]) == 5
+    assert all(0.0 <= v <= 1.0 for v in s["flow"]["per_center"])

@@ -300,8 +300,8 @@ def test_template_stats_return_cov():
     tmpl = _hsd_batch(4, seed=7)
     out = validate_flow.accumulate_template_stats(
         flow, gmm, CFG, state.params, state.spectral, [tmpl], KEY,
-        return_usage=True, return_cov=True)
-    mu, sd, usage, cov = out
+        return_cov=True)
+    mu, sd, usage, cov = out.mu, out.sigma, out.usage, out.cov
     assert np.asarray(cov).shape == (CFG.n_clusters, 3, 3)
     var = np.einsum("kcc->kc", np.asarray(cov))
     assert np.allclose(var, np.asarray(sd) ** 2, atol=1e-4)
@@ -311,7 +311,7 @@ def test_template_stats_return_cov():
     out_q = validate_flow.accumulate_template_stats(
         flow, gmm, CFG, state.params, state.spectral, [tmpl], KEY,
         return_quantiles=True)
-    q = np.asarray(out_q[2])
+    q = np.asarray(out_q.quantiles)
     assert q.shape == (CFG.n_clusters, 3, 33)
     assert (np.diff(q, axis=-1) >= -1e-6).all()
 
