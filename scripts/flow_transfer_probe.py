@@ -132,7 +132,10 @@ def run(args):
             worst = 0.0
             for c in range(3):
                 qs, qt = q_src[k, c], q_tmpl[k, c]
-                if np.isnan(qs).any() or np.isnan(qt).any():
+                if (not np.isfinite(qs).all() or not np.isfinite(qt).all()
+                        or float(qs.std()) < 1e-9):
+                    # Empty/degenerate class curve (e.g. a class the center
+                    # never uses): no affine fit exists.
                     worst = float("nan")
                     break
                 a, b = np.polyfit(qs, qt, 1)
