@@ -716,7 +716,7 @@ def main():
         if CONFIG == "vahadane":
             return vahadane_normalize_planar(
                 x, params.stain_matrix_target, params.max_c_target,
-                interpret=not on_tpu, fit_stride=2, num_iters=8,
+                interpret=not on_tpu, fit_stride=2, num_iters=8, n_bisect=10,
             )
         return macenko_normalize_planar(
             x, params.stain_matrix_target, params.max_c_target,
@@ -743,7 +743,8 @@ def main():
     # full-resolution-fit runs of earlier rounds). Since r5 the drop-in API
     # itself uses exactly these knobs at >=256^2 (api._fast_fit_kwargs), so
     # the headline config IS the default path at this tile size.
-    est_knobs = (dict(fit_stride=2, num_iters=8) if CONFIG == "vahadane"
+    est_knobs = (dict(fit_stride=2, num_iters=8, n_bisect=10)
+                 if CONFIG == "vahadane"
                  else dict(fit_stride=2, n_bisect=10))
 
     step = None

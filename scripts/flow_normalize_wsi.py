@@ -52,13 +52,17 @@ def main(argv=None) -> int:
                          "(robust to the OOD class permutation measured in "
                          "BASELINE.md r4); default = the reference's k->k "
                          "mapping")
-    ap.add_argument("--transfer", choices=("diag", "full", "quantile"),
+    ap.add_argument("--transfer",
+                    choices=("diag", "full", "quantile", "rgb-quantile"),
                     default="diag",
                     help="per-class transfer: 'diag' = the reference's "
                          "(mu, sigma) affine (train_img_horo.py:815); "
                          "'full' = full-covariance Monge maps (EXTENSION, "
                          "rotates chroma); 'quantile' = per-class quantile "
-                         "matching (EXTENSION, non-affine; BASELINE.md r4)")
+                         "matching (EXTENSION, non-affine; BASELINE.md r4); "
+                         "'rgb-quantile' = quantile matching in float-RGB — "
+                         "inverts per-channel scanner tone curves exactly "
+                         "(EXTENSION, BASELINE.md r5)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 

@@ -192,6 +192,22 @@ def run(args):
                 print(f"vahadane fs=2 it=8 T={T} failed: "
                       f"{type(e).__name__}", flush=True)
                 results[f"vahadane fs=2 it=8 T={T}"] = None
+        # Candidate ship configs: the interleave recovery (T=2) combined
+        # with the shallower bisection the r4 grid validated (nb=10).
+        for T, nb, it in ((2, 10, 8), (3, 10, 8), (2, 10, 6)):
+            try:
+                probe(f"vahadane fs=2 it={it} T={T} nb={nb}",
+                      functools.partial(
+                          vahadane_normalize_planar,
+                          stain_matrix_tgt=pv.stain_matrix_target,
+                          max_c_target=pv.max_c_target,
+                          num_iters=it, fit_stride=2, tiles_per_step=T,
+                          n_bisect=nb),
+                      big, args.batch)
+            except Exception as e:
+                print(f"vahadane fs=2 it={it} T={T} nb={nb} failed: "
+                      f"{type(e).__name__}", flush=True)
+                results[f"vahadane fs=2 it={it} T={T} nb={nb}"] = None
         probe("vahadane fs=4 it=8 (estimation floor probe)",
               functools.partial(
                   vahadane_normalize_planar,

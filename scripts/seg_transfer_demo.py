@@ -70,7 +70,8 @@ def parse_args(argv):
                         "ONE perm per center (the flow_normalize_slide "
                         "slide-level approach)")
     p.add_argument("--transfer",
-                   choices=("diag", "full", "quantile", "full-quantile"),
+                   choices=("diag", "full", "quantile", "full-quantile",
+                            "rgb-quantile"),
                    default="diag",
                    help="per-class transfer: 'diag' = the reference's "
                         "per-channel (mu, sigma) affine "
@@ -81,7 +82,10 @@ def parse_args(argv):
                         "EXTENSION, closes the measured non-affine "
                         "within-class shifts; 'full-quantile' = Monge "
                         "rotation then quantile correction (BASELINE.md "
-                        "r4)")
+                        "r4); 'rgb-quantile' = quantile matching on the "
+                        "float-RGB rendering — the space where acquisition "
+                        "tone curves are per-channel monotone and exactly "
+                        "invertible (BASELINE.md r5)")
     p.add_argument("--src-stats", choices=("batch", "image"),
                    default="batch",
                    help="source statistics pooling for the flow transfer: "
@@ -232,7 +236,7 @@ def _make_recolor(args, flow, gmm, cfg, params, spectral, tmpl_tiles):
     from stainlib_tpu.models import color_eval
     from stainlib_tpu.models.train_flow import encode
     from stainlib_tpu.models.validate_flow import accumulate_template_stats
-    from stainlib_tpu.ops.colorspace import rgb_to_hsd
+    from stainlib_tpu.ops.colorspace import hsd_to_rgb, rgb_to_hsd
 
     to_hsd = jax.jit(rgb_to_hsd)
     tmpl_hsd = np.asarray(to_hsd(jnp.asarray(tmpl_tiles)))
@@ -241,11 +245,13 @@ def _make_recolor(args, flow, gmm, cfg, params, spectral, tmpl_tiles):
     fq = args.transfer == "full-quantile"
     full = args.transfer == "full"
     quant = args.transfer == "quantile"
+    rq = args.transfer == "rgb-quantile"
     stats = accumulate_template_stats(
         flow, gmm, cfg, params, spectral,
         [tmpl_hsd[i:i + args.batch]
          for i in range(0, len(tmpl_hsd), args.batch)], k_t,
-        return_cov=full or fq, return_quantiles=quant or fq)
+        return_cov=full or fq, return_quantiles=quant or fq or rq,
+        quantile_space="rgb" if rq else "hsd")
     mu_t, sd_t, usage_t = stats.mu, stats.sigma, stats.usage
     cov_t, q_t = stats.cov, stats.quantiles
     per_image = args.src_stats == "image"
@@ -265,6 +271,11 @@ def _make_recolor(args, flow, gmm, cfg, params, spectral, tmpl_tiles):
             q_s, _ = color_eval.class_channel_quantiles(hsd, gamma)
             return color_eval.image_dist_transform_quantile(
                 hsd, gamma, q_s, q_t, perm=perm)
+        if rq:
+            xq = hsd_to_rgb(hsd)
+            q_s, _ = color_eval.class_channel_quantiles(xq, gamma)
+            return color_eval.image_dist_transform_quantile(
+                xq, gamma, q_s, q_t, perm=perm, space="rgb")
         if full:
             mu_s, cov_s = color_eval.class_color_cov(hsd, gamma)
             return color_eval.image_dist_transform_full(

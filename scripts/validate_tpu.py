@@ -104,9 +104,9 @@ def main():
            macenko_normalize(batch, pm.stain_matrix_target, pm.max_c_target,
                              fit_stride=2, n_bisect=10),
            extractive.transform(pm, batch, method="macenko"))
-    report("vahadane-fast (fs=2 it=8)",
+    report("vahadane-fast (fs=2 it=8 nb=10)",
            vahadane_normalize(batch, pv.stain_matrix_target, pv.max_c_target,
-                              fit_stride=2, num_iters=8),
+                              fit_stride=2, num_iters=8, n_bisect=10),
            extractive.transform(pv, batch, method="vahadane"))
 
     # Throughput at 256x256 (dependent-chain marginal cost — the relay
@@ -140,7 +140,7 @@ def main():
             x, pv.stain_matrix_target, pv.max_c_target)),
         ("vahadane-fast", lambda x: vahadane_normalize_planar(
             x, pv.stain_matrix_target, pv.max_c_target,
-            fit_stride=2, num_iters=8)),
+            fit_stride=2, num_iters=8, n_bisect=10)),
         ("reinhard", lambda x: reinhard_normalize_planar(
             x, pr.means, pr.stds)),
         ("vahadane-pop (fit-once)", pop_step),

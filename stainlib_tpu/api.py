@@ -76,7 +76,7 @@ def _fast_fit_kwargs(I, method: str) -> dict:
     if I.shape[0] * I.shape[1] < 256 * 256:
         return {}
     return (dict(fit_stride=2, n_bisect=10) if method == "macenko"
-            else dict(fit_stride=2, num_iters=8))
+            else dict(fit_stride=2, num_iters=8, n_bisect=10))
 
 
 def _use_tiled(I) -> bool:

@@ -369,12 +369,17 @@ def vahadane_normalize_planar(rgb_planar, stain_matrix_tgt, max_c_target,
 
     if tiles_per_step <= 0:
         # The BCD live set (OD x3 + mask + lasso temps per tile) budgets
-        # T like the dictionary kernel: 2 x 256^2 per grid step; the
-        # subsampled estimation planes of fit_stride > 1 add ~1.5 MB per
-        # 256^2 tile (measured 17.55 MB OOM at T=2/fs=2): single tile.
-        cap = 2 if fit_stride == 1 else 1
+        # T like the dictionary kernel: 2 x 256^2 per grid step at full
+        # resolution. With fit_stride >= 2 the BCD/percentile operands are
+        # the SUBSAMPLED planes, so more tiles interleave per grid step:
+        # re-measured r5 (BASELINE.md "Vahadane roofline"), T=4/fs=2 at
+        # 256^2 fits VMEM, is bit-exact vs T=1, and lifts the shipping
+        # config 51.6k -> ~71k tiles/s (the r4 note of a 17.55 MB OOM at
+        # T=2/fs=2 predates the r4 stride_rows estimation rework and no
+        # longer reproduces).
+        cap = 2 if fit_stride == 1 else 4
         budget = max((256 * 256 * cap) // (R * L), 1)
-        tiles_per_step = next(t for t in (2, 1)
+        tiles_per_step = next(t for t in (4, 2, 1)
                               if t <= budget and B % t == 0)
     assert B % tiles_per_step == 0, (B, tiles_per_step)
     T = tiles_per_step

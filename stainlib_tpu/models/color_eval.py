@@ -176,7 +176,8 @@ def class_channel_quantiles(hsd, gamma, n_points: int = 33,
     return lam * q_cls + (1.0 - lam) * q_glob, mass
 
 
-def image_dist_transform_quantile(hsd, gamma, q_src, q_tmpl, perm=None):
+def image_dist_transform_quantile(hsd, gamma, q_src, q_tmpl, perm=None,
+                                  space: str = "hsd"):
     """Per-class monotone QUANTILE-MATCHING transfer (EXTENSION; see
     :func:`class_channel_quantiles`):
 
@@ -184,7 +185,18 @@ def image_dist_transform_quantile(hsd, gamma, q_src, q_tmpl, perm=None):
 
     — maps each class's full distribution onto the template's instead of
     only its first two moments, closing the measured non-affine residual.
-    Same contract as :func:`image_dist_transform` (uint8 RGB out)."""
+    Same contract as :func:`image_dist_transform` (uint8 RGB out).
+
+    ``space`` selects the channels being matched: ``"hsd"`` (default — the
+    reference's deployment color model) matches the HSD channels and
+    converts back; ``"rgb"`` expects ``hsd``/the curves to already BE float
+    RGB in [0, 255] and matches the RGB channels directly. Acquisition-layer
+    distortions (scanner tone curves) are monotone PER RGB CHANNEL
+    (``data/synthetic.py::_filmic``), which is non-separable after the HSD
+    mix — RGB-space matching inverts them exactly; measured in BASELINE.md
+    r5 "Acquisition cohort"."""
+    if space not in ("hsd", "rgb"):
+        raise ValueError(f"space must be 'hsd' or 'rgb', got {space!r}")
     if perm is not None:
         q_tmpl = jnp.asarray(q_tmpl)[perm]
     x = jnp.asarray(hsd, jnp.float32)                           # (B,H,W,3)
@@ -208,7 +220,7 @@ def image_dist_transform_quantile(hsd, gamma, q_src, q_tmpl, perm=None):
         body, jnp.zeros_like(x),
         (jnp.asarray(q_src, jnp.float32), jnp.asarray(q_tmpl, jnp.float32),
          jnp.moveaxis(g, -1, 0)))
-    return to_uint8(hsd_to_rgb(out))
+    return to_uint8(out if space == "rgb" else hsd_to_rgb(out))
 
 
 def image_dist_transform_full_quantile(hsd, gamma, mu_src, cov_src,

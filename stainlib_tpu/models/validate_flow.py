@@ -67,10 +67,14 @@ class TemplateStats(NamedTuple):
 
 
 def _batch_sums(flow, gmm, cfg, params, spectral, hsd, key,
-                with_cov: bool, with_quantiles: bool) -> TemplateSums:
+                with_cov: bool, with_quantiles: bool,
+                quantile_space: str = "hsd") -> TemplateSums:
     """One batch's contribution to the template sums (pure; jit/shard_map
     safe — gamma is key-independent, the key only drives the stochastic
-    logdet estimator inside ``encode``)."""
+    logdet estimator inside ``encode``). ``quantile_space`` selects the
+    channels the quantile curves summarize: the HSD input itself, or its
+    float-RGB rendering (see
+    :func:`color_eval.image_dist_transform_quantile`)."""
     _, _, gamma = encode(flow, gmm, params, spectral, cfg, hsd, key)
     w = jnp.sum(gamma, axis=(0, 1, 2))  # (K,)
     x = jnp.einsum("bhwk,bhwc->kc", gamma, hsd)
@@ -79,7 +83,8 @@ def _batch_sums(flow, gmm, cfg, params, spectral, hsd, key,
            if with_cov else None)
     wq = None
     if with_quantiles:
-        q_b, m_b = color_eval.class_channel_quantiles(hsd, gamma)
+        xq = hsd if quantile_space == "hsd" else hsd_to_rgb(hsd)
+        q_b, m_b = color_eval.class_channel_quantiles(xq, gamma)
         wq = m_b[:, None, None] * q_b
     return TemplateSums(w, x, xx, xxT, wq)
 
@@ -87,7 +92,8 @@ def _batch_sums(flow, gmm, cfg, params, spectral, hsd, key,
 def accumulate_template_sums(flow, gmm, cfg: FlowConfig, params, spectral,
                              template_batches: Iterable, key,
                              with_cov: bool = False,
-                             with_quantiles: bool = False) -> TemplateSums:
+                             with_quantiles: bool = False,
+                             quantile_space: str = "hsd") -> TemplateSums:
     """Template-sum accumulation over all template batches — the running
     sums of ``train_img_horo.py:676-727`` before their allreduce. Under
     multi-host SPMD, psum the result over the 'data' axis
@@ -95,7 +101,8 @@ def accumulate_template_sums(flow, gmm, cfg: FlowConfig, params, spectral,
     :func:`finalize_stats`, or use :func:`template_sums_sharded`."""
     fn = jax.jit(functools.partial(
         _batch_sums, flow, gmm, cfg, params, spectral,
-        with_cov=with_cov, with_quantiles=with_quantiles))
+        with_cov=with_cov, with_quantiles=with_quantiles,
+        quantile_space=quantile_space))
     sums = None
     for hsd in template_batches:
         key, sub = jax.random.split(key)
@@ -107,7 +114,8 @@ def accumulate_template_sums(flow, gmm, cfg: FlowConfig, params, spectral,
 def template_sums_sharded(flow, gmm, cfg: FlowConfig, params, spectral,
                           hsd, key, mesh, axis_name: str = "data",
                           with_cov: bool = False,
-                          with_quantiles: bool = False) -> TemplateSums:
+                          with_quantiles: bool = False,
+                          quantile_space: str = "hsd") -> TemplateSums:
     """One global template batch SHARDED over ``mesh[axis_name]``: each
     shard encodes its local tiles and computes local sums, then the sums
     are allreduced in-program (``psum_stats`` — the ``hvd.allreduce`` of
@@ -123,7 +131,8 @@ def template_sums_sharded(flow, gmm, cfg: FlowConfig, params, spectral,
         out_specs=P(), check_vma=False)
     def go(p, sp, hsd_shard, k):
         s = _batch_sums(flow, gmm, cfg, p, sp, hsd_shard, k,
-                        with_cov=with_cov, with_quantiles=with_quantiles)
+                        with_cov=with_cov, with_quantiles=with_quantiles,
+                        quantile_space=quantile_space)
         return psum_stats(s, axis_name)
 
     hsd = jax.device_put(jnp.asarray(hsd, jnp.float32),
@@ -150,7 +159,8 @@ def accumulate_template_stats(flow, gmm, cfg: FlowConfig, params, spectral,
                               template_batches: Iterable, key,
                               return_usage: bool = True,
                               return_cov: bool = False,
-                              return_quantiles: bool = False
+                              return_quantiles: bool = False,
+                              quantile_space: str = "hsd"
                               ) -> TemplateStats:
     """Running-mean template statistics over all template batches
     (``train_img_horo.py:676-727``): a :class:`TemplateStats` with
@@ -166,7 +176,8 @@ def accumulate_template_stats(flow, gmm, cfg: FlowConfig, params, spectral,
     del return_usage
     sums = accumulate_template_sums(
         flow, gmm, cfg, params, spectral, template_batches, key,
-        with_cov=return_cov, with_quantiles=return_quantiles)
+        with_cov=return_cov, with_quantiles=return_quantiles,
+        quantile_space=quantile_space)
     return finalize_stats(sums)
 
 
@@ -181,7 +192,8 @@ def finalize_template_stats(sum_w, sum_x, sum_xx, eps: float = 1e-6):
 
 def deploy(flow, gmm, cfg: FlowConfig, params, spectral, test_batches,
            mu_tmpl, sigma_tmpl, key, log=print, usage_tmpl=None,
-           cov_tmpl=None, q_tmpl=None, pooled_usage: bool = False):
+           cov_tmpl=None, q_tmpl=None, pooled_usage: bool = False,
+           q_space: str = "hsd"):
     """DEPLOY pass: recolor every test batch toward the template and collect
     per-image NMI of the recolored output (``train_img_horo.py:750-862``).
 
@@ -208,7 +220,9 @@ def deploy(flow, gmm, cfg: FlowConfig, params, spectral, test_batches,
     transfer is per-class QUANTILE MATCHING
     (:func:`color_eval.image_dist_transform_quantile` — EXTENSION, closes
     the measured non-affine within-class shifts); takes precedence over
-    ``cov_tmpl``.
+    ``cov_tmpl``. ``q_space`` ('hsd'|'rgb') selects the channels the curves
+    were accumulated over and the matching runs in — 'rgb' inverts
+    per-RGB-channel acquisition tone curves exactly (BASELINE.md r5).
 
     ``pooled_usage`` (with ``usage_tmpl``): accumulate class usage over ALL
     test batches first and use ONE permutation for the whole deploy set —
@@ -251,9 +265,10 @@ def deploy(flow, gmm, cfg: FlowConfig, params, spectral, test_batches,
                     color_eval.class_usage(gamma), usage_tmpl)
                 if usage_tmpl is not None else None)
         if q_tmpl is not None:
-            q_src, _ = color_eval.class_channel_quantiles(hsd, gamma)
+            xq = hsd if q_space == "hsd" else hsd_to_rgb(hsd)
+            q_src, _ = color_eval.class_channel_quantiles(xq, gamma)
             rgb = color_eval.image_dist_transform_quantile(
-                hsd, gamma, q_src, q_tmpl, perm=perm)
+                xq, gamma, q_src, q_tmpl, perm=perm, space=q_space)
         elif cov_tmpl is not None:
             mu_s, cov_s = color_eval.class_color_cov(hsd, gamma)
             rgb = color_eval.image_dist_transform_full(
@@ -292,15 +307,21 @@ def validate(flow, gmm, cfg: FlowConfig, params, spectral,
     (``train_img_horo.py:815``); 'full' = per-class Monge maps
     (EXTENSION — :func:`color_eval.image_dist_transform_full`);
     'quantile' = per-class quantile matching (EXTENSION —
-    :func:`color_eval.image_dist_transform_quantile`).
+    :func:`color_eval.image_dist_transform_quantile`);
+    'rgb-quantile' = the same matching on the float-RGB rendering — the
+    space where acquisition tone curves are per-channel monotone and thus
+    exactly invertible (EXTENSION, BASELINE.md r5).
     ``mesh``: when given, each template batch is SHARDED over
     ``mesh[axis_name]`` and its statistic sums are allreduced in-program
     (:func:`template_sums_sharded`) — the reference's data-parallel
     template pass with its ``hvd.allreduce`` (``train_img_horo.py:
     742-748``); the batch size must divide by the axis size."""
-    if transfer not in ("diag", "full", "quantile"):
+    if transfer not in ("diag", "full", "quantile", "rgb-quantile"):
         raise ValueError(
-            f"transfer must be 'diag', 'full' or 'quantile', got {transfer!r}")
+            "transfer must be 'diag', 'full', 'quantile' or 'rgb-quantile', "
+            f"got {transfer!r}")
+    q_space = "rgb" if transfer == "rgb-quantile" else "hsd"
+    with_q = transfer in ("quantile", "rgb-quantile")
     k1, k2 = jax.random.split(key)
     if mesh is not None:
         sums = None
@@ -309,14 +330,14 @@ def validate(flow, gmm, cfg: FlowConfig, params, spectral,
             s = template_sums_sharded(
                 flow, gmm, cfg, params, spectral, hsd, sub, mesh,
                 axis_name=axis_name, with_cov=transfer == "full",
-                with_quantiles=transfer == "quantile")
+                with_quantiles=with_q, quantile_space=q_space)
             sums = s if sums is None else jax.tree.map(jnp.add, sums, s)
         stats = finalize_stats(sums)
     else:
         stats = accumulate_template_stats(
             flow, gmm, cfg, params, spectral, template_batches, k1,
             return_cov=transfer == "full",
-            return_quantiles=transfer == "quantile"
+            return_quantiles=with_q, quantile_space=q_space
         )
     mu_t, sd_t = stats.mu, stats.sigma
     nmis, outs, (cls_nmi, cls_nmi_raw) = deploy(
@@ -324,7 +345,7 @@ def validate(flow, gmm, cfg: FlowConfig, params, spectral,
         mu_t, sd_t, k2, log=log,
         usage_tmpl=stats.usage if class_match else None,
         cov_tmpl=stats.cov, q_tmpl=stats.quantiles,
-        pooled_usage=pooled_class_match)
+        pooled_usage=pooled_class_match, q_space=q_space)
     sd, cv = color_eval.nmi_sd_cv(nmis)
     # The reference metric: per-class SD/CV averaged across classes
     # (train_img_horo.py:865-898), before and after recoloring.

@@ -496,7 +496,10 @@ def flow_normalize_slide(
     template's chroma rotation); 'quantile' = per-class quantile matching
     (EXTENSION — ``color_eval.image_dist_transform_quantile``, closes the
     measured non-affine within-class shifts; both measured on the synthetic
-    cohort in BASELINE.md r4).
+    cohort in BASELINE.md r4); 'rgb-quantile' = the same matching on the
+    float-RGB rendering, the space where scanner tone curves are
+    per-channel monotone and exactly invertible (EXTENSION, BASELINE.md
+    r5 "Acquisition cohort").
     """
     import jax  # noqa: F401  (jitted closures below)
 
@@ -505,7 +508,7 @@ def flow_normalize_slide(
     from stainlib_tpu.models.train_flow import (
         encode, init_flow_state, reference_capacity)
     from stainlib_tpu.models.validate_flow import accumulate_template_stats
-    from stainlib_tpu.ops.colorspace import rgb_to_hsd
+    from stainlib_tpu.ops.colorspace import hsd_to_rgb, rgb_to_hsd
     from stainlib_tpu.utils.checkpoint import restore_checkpoint
 
     if cfg is None:
@@ -542,17 +545,20 @@ def flow_normalize_slide(
     params = state.ema.params if use_ema else state.params
     spectral = state.spectral
 
-    if transfer not in ("diag", "full", "quantile"):
+    if transfer not in ("diag", "full", "quantile", "rgb-quantile"):
         raise ValueError(
-            f"transfer must be 'diag', 'full' or 'quantile', got {transfer!r}")
+            "transfer must be 'diag', 'full', 'quantile' or 'rgb-quantile', "
+            f"got {transfer!r}")
     full = transfer == "full"
-    quant = transfer == "quantile"
+    quant = transfer in ("quantile", "rgb-quantile")
+    q_space = "rgb" if transfer == "rgb-quantile" else "hsd"
     key = jax.random.PRNGKey(seed + 1)
     k_tmpl, k_src, key = jax.random.split(key, 3)
     t_stats = accumulate_template_stats(
         flow, gmm, cfg, params, spectral,
         [tmpl_hsd[i : i + batch] for i in range(0, len(tmpl_hsd), batch)],
-        k_tmpl, return_cov=full, return_quantiles=quant)
+        k_tmpl, return_cov=full, return_quantiles=quant,
+        quantile_space=q_space)
     mu_t, sd_t, usage_t = t_stats.mu, t_stats.sigma, t_stats.usage
     cov_t, q_t = t_stats.cov, t_stats.quantiles
 
@@ -573,7 +579,8 @@ def flow_normalize_slide(
         s_stats = accumulate_template_stats(
             flow, gmm, cfg, params, spectral,
             [src_hsd[i : i + batch] for i in range(0, len(src_hsd), batch)],
-            k_src, return_cov=full, return_quantiles=quant)
+            k_src, return_cov=full, return_quantiles=quant,
+            quantile_space=q_space)
         mu_s, sd_s, usage_s = s_stats.mu, s_stats.sigma, s_stats.usage
         cov_s, q_s = s_stats.cov, s_stats.quantiles
         # One slide-level permutation, matching the slide-level source
@@ -590,8 +597,11 @@ def flow_normalize_slide(
             hsd = rgb_to_hsd(batch_u8)
             _, _, gamma = encode(flow, gmm, params, spectral, cfg, hsd, k)
             if quant:
+                # rgb-quantile maps the same float-RGB rendering the curves
+                # were accumulated over (hsd_to_rgb of the HSD encoding).
+                xq = hsd if q_space == "hsd" else hsd_to_rgb(hsd)
                 return color_eval.image_dist_transform_quantile(
-                    hsd, gamma, q_s, q_t, perm=perm)
+                    xq, gamma, q_s, q_t, perm=perm, space=q_space)
             if full:
                 return color_eval.image_dist_transform_full(
                     hsd, gamma, mu_s, cov_s, mu_t, cov_t, perm=perm)

@@ -109,4 +109,5 @@ def test_fast_fit_kwargs_gating():
     assert _fast_fit_kwargs(small, "macenko") == {}
     assert _fast_fit_kwargs(small, "vahadane") == {}
     assert _fast_fit_kwargs(big, "macenko") == dict(fit_stride=2, n_bisect=10)
-    assert _fast_fit_kwargs(big, "vahadane") == dict(fit_stride=2, num_iters=8)
+    assert _fast_fit_kwargs(big, "vahadane") == dict(fit_stride=2, num_iters=8,
+                                                     n_bisect=10)

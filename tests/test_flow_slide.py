@@ -117,7 +117,7 @@ def test_flow_normalize_slide_full_transfer(tmp_path):
     save_checkpoint(ckdir, jax.tree.map(np.asarray, state), 0)
 
     outs = {}
-    for tr in ("diag", "full", "quantile"):
+    for tr in ("diag", "full", "quantile", "rgb-quantile"):
         out_path = str(tmp_path / f"out_{tr}.tif")
         info = flow_normalize_slide(path, out_path, ckdir, template=template,
                                     batch=4, n_src_tiles=4, cfg=CFG,
@@ -128,8 +128,10 @@ def test_flow_normalize_slide_full_transfer(tmp_path):
         s.close()
     assert outs["full"].dtype == np.uint8
     assert outs["quantile"].dtype == np.uint8
+    assert outs["rgb-quantile"].dtype == np.uint8
     assert not np.array_equal(outs["diag"], outs["full"])
     assert not np.array_equal(outs["diag"], outs["quantile"])
+    assert not np.array_equal(outs["quantile"], outs["rgb-quantile"])
 
     with pytest.raises(ValueError):
         flow_normalize_slide(path, str(tmp_path / "bad.tif"), ckdir,

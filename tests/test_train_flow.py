@@ -252,6 +252,64 @@ def test_quantile_transfer_closes_nonaffine_shift():
     assert np.abs(np.asarray(ident, int) - np.asarray(direct, int)).max() <= 1
 
 
+def test_rgb_quantile_transfer_inverts_tone_curve():
+    """RGB-space quantile matching (EXTENSION, r5) inverts a per-RGB-channel
+    monotone scanner tone curve EXACTLY (<= 1 u8), while the HSD-space
+    matching cannot: the filmic curve of the acquisition cohort
+    (``data/synthetic.py::_filmic``) is separable per RGB channel but
+    non-separable after the HSD mix (measured here: >10 u8 residual)."""
+    from stainlib_tpu.ops.colorspace import rgb_to_hsd
+
+    rng = np.random.default_rng(7)
+    tmpl = rng.uniform(40, 230, (2, 32, 32, 3)).astype(np.float32)
+
+    def filmic(x, g, k):
+        xg = np.power(x / 255.0, g)
+        return 255.0 * (1 + k) * xg / (xg + k)
+
+    src = filmic(tmpl, np.array([0.7, 0.85, 1.2]),
+                 np.array([0.7, 0.9, 1.3])).astype(np.float32)
+    K = 4
+    gamma = rng.dirichlet(np.ones(K), size=(2, 32, 32)).astype(np.float32)
+
+    q_t, _ = color_eval.class_channel_quantiles(
+        jnp.asarray(tmpl), gamma, prior_weight=1e-6)
+    q_s, _ = color_eval.class_channel_quantiles(
+        jnp.asarray(src), gamma, prior_weight=1e-6)
+    out = color_eval.image_dist_transform_quantile(
+        jnp.asarray(src), gamma, q_s, q_t, space="rgb")
+    assert out.dtype == jnp.uint8
+    err_rgb = np.abs(np.asarray(out, np.float32) - tmpl).max()
+    assert err_rgb <= 1.0, err_rgb
+
+    tmpl_h = rgb_to_hsd(jnp.asarray(tmpl))
+    src_h = rgb_to_hsd(jnp.asarray(src))
+    qth, _ = color_eval.class_channel_quantiles(tmpl_h, gamma,
+                                                prior_weight=1e-6)
+    qsh, _ = color_eval.class_channel_quantiles(src_h, gamma,
+                                                prior_weight=1e-6)
+    outh = color_eval.image_dist_transform_quantile(src_h, gamma, qsh, qth)
+    err_hsd = np.abs(np.asarray(outh, np.float32) - tmpl).max()
+    assert err_hsd > 10.0, err_hsd  # the mechanism the RGB space closes
+
+    with pytest.raises(ValueError):
+        color_eval.image_dist_transform_quantile(
+            jnp.asarray(src), gamma, q_s, q_t, space="lab")
+
+
+def test_validate_rgb_quantile_transfer_runs():
+    """validate(transfer='rgb-quantile') end to end: RGB-space template
+    curves accumulated under the GMM responsibilities, deployed, NMI out."""
+    flow, gmm, state, tx = init_flow_state(CFG, KEY)
+    rng = np.random.default_rng(11)
+    batches = [rng.random((2, 16, 16, 3), np.float32) for _ in range(2)]
+    res = validate_flow.validate(
+        flow, gmm, CFG, state.params, state.spectral,
+        batches, batches, KEY, transfer="rgb-quantile")
+    assert np.isfinite(res["nmi_sd"])
+    assert res["outputs"][0].dtype == np.uint8
+
+
 def test_full_quantile_transfer_identity_and_shapes():
     """The composite Monge+quantile transfer: identity when source ==
     template stats (round trip within 1 u8), valid uint8 output."""
