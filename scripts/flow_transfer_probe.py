@@ -53,7 +53,8 @@ def parse_args(argv):
     p.add_argument("--raw-weights", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="/tmp/flow_transfer_probe")
-    p.add_argument("--cohort", choices=("bl", "acquisition"), default="bl",
+    p.add_argument("--cohort", default="bl",
+                   choices=("bl", "acquisition", "acquisition-clean"),
                    help="synthetic cohort (see data/synthetic.py)")
     p.add_argument("--cpu", action="store_true")
     return p.parse_args(argv)

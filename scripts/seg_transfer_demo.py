@@ -93,12 +93,24 @@ def parse_args(argv):
                         "deploy batch (train_img_horo.py:703-705); 'image' "
                         "= per-image (EXTENSION — adapts per image like "
                         "Macenko's re-estimation)")
-    p.add_argument("--cohort", choices=("bl", "acquisition"), default="bl",
+    p.add_argument("--cohort", default="bl",
+                   choices=("bl", "acquisition", "acquisition-clean"),
                    help="synthetic cohort: 'bl' = Beer-Lambert stain shifts "
                         "(Macenko near-oracle by construction, BASELINE.md "
                         "r4); 'acquisition' = non-Beer-Lambert per-center "
                         "scanner chains — the regime the reference's "
                         "published flow>classical ordering claims")
+    p.add_argument("--seg-augment", action="store_true",
+                   help="train the segmenter on degradation-augmented "
+                        "copies of the normalized training tiles (shot-like "
+                        "noise, JPEG recompression, mild defocus) — applied "
+                        "IDENTICALLY to every condition, with the same "
+                        "draws. On the acquisition cohort this isolates "
+                        "COLOR normalization quality from residual "
+                        "sensor/codec artifacts, which Macenko's rank-2 OD "
+                        "reconstruction incidentally removes while "
+                        "pixelwise distribution transfers preserve them "
+                        "(BASELINE.md r5 mechanism)")
     p.add_argument("--out", default="/tmp/seg_transfer")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
@@ -329,6 +341,36 @@ def _make_recolor(args, flow, gmm, cfg, params, spectral, tmpl_tiles):
     return apply
 
 
+def _augment_training_set(tiles_u8, masks, seed):
+    """Original + degraded copies (sensor noise / JPEG / defocus) of the
+    NORMALIZED training tiles, masks repeated alongside — the acquisition
+    chain's information-destroying stages (``synthetic._apply_acquisition``)
+    replayed as train-time augmentation. A fresh rng from ``seed`` means
+    every condition gets the SAME draws, so the comparison stays fair."""
+    from io import BytesIO
+
+    import numpy as np
+    from PIL import Image
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.default_rng(seed + 31)
+    x = tiles_u8 / 255.0
+    noisy = x + (2.0 / 255.0) * np.sqrt(np.maximum(x, 1e-3)) \
+        * rng.standard_normal(x.shape)
+    noisy = np.clip(255.0 * noisy, 0, 255).astype(np.uint8)
+    jp = np.empty_like(tiles_u8)
+    for i, t in enumerate(tiles_u8):
+        buf = BytesIO()
+        Image.fromarray(t).save(buf, format="JPEG",
+                                quality=int(rng.integers(55, 80)))
+        buf.seek(0)
+        jp[i] = np.asarray(Image.open(buf).convert("RGB"))
+    blurred = np.clip(255.0 * gaussian_filter(
+        x, sigma=(0.0, 0.6, 0.6, 0.0)), 0, 255).astype(np.uint8)
+    return (np.concatenate([tiles_u8, noisy, jp, blurred]),
+            np.concatenate([masks] * 4))
+
+
 def run(args):
     import jax
 
@@ -370,8 +412,11 @@ def run(args):
         begin_group(train_tiles)
         tr = np.concatenate([norm(train_tiles[i:i + args.batch])
                              for i in range(0, len(train_tiles), args.batch)])
+        tr_masks = train_masks
+        if args.seg_augment:
+            tr, tr_masks = _augment_training_set(tr, train_masks, args.seed)
         predict, _ = train_segmenter(
-            tr, train_masks, steps=args.seg_steps, batch=args.batch,
+            tr, tr_masks, steps=args.seg_steps, batch=args.batch,
             base=args.seg_base, depth=args.seg_depth,
             n_classes=N_SEG_CLASSES, seed=args.seed, log=log)
         per_center = []
@@ -391,7 +436,9 @@ def run(args):
         }
 
     summary = {"size": s, "seg_steps": args.seg_steps,
-               "cohort": args.cohort, "conditions": results}
+               "cohort": args.cohort,
+               "seg_augment": bool(args.seg_augment),
+               "conditions": results}
     print(json.dumps(summary))
     if args.out:
         os.makedirs(args.out, exist_ok=True)

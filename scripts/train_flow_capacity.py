@@ -56,7 +56,8 @@ def parse_args(argv):
                         "(BASELINE.md r4 seg-transfer mechanism)")
     p.add_argument("--train-pool", type=int, default=0,
                    help="training tiles per center (0 = template pool size)")
-    p.add_argument("--cohort", choices=("bl", "acquisition"), default="bl",
+    p.add_argument("--cohort", default="bl",
+                   choices=("bl", "acquisition", "acquisition-clean"),
                    help="synthetic cohort: 'bl' = Beer-Lambert stain shifts "
                         "(Macenko's own model class — near-oracle for it, "
                         "BASELINE.md r4); 'acquisition' = non-Beer-Lambert "

@@ -68,6 +68,31 @@ def test_acquisition_breaks_beer_lambert_rank2():
         assert rb < 0.15, (c, rb)  # the BL cohort really is near rank-2
 
 
+def test_acquisition_clean_drops_degradation_keeps_color():
+    """'acquisition-clean' (the r5 mechanism probe) keeps the tone-curve /
+    saturation COLOR distortion but removes the information-destroying
+    stages: masks identical, tiles still far from the bl render, and the
+    template center (whose acquisition chain is only noise+JPEG) becomes
+    bit-near the clean Beer-Lambert render."""
+    for c in range(N_CENTERS):
+        ta, ma = center_tiles_with_masks(c, 4, 48, 48, seed=3,
+                                         cohort="acquisition")
+        tc, mc = center_tiles_with_masks(c, 4, 48, 48, seed=3,
+                                         cohort="acquisition-clean")
+        np.testing.assert_array_equal(ma, mc)
+        # Every center keeps its color distortion (the g=k=1 filmic of the
+        # template center is y = 2x/(x+1), itself a real tone curve)...
+        tb, _ = center_tiles_with_masks(c, 4, 48, 48, seed=3, cohort="bl")
+        assert np.abs(tb.astype(int) - tc.astype(int)).mean() > 5.0
+        # ...and sheds the degradation stages (noise/JPEG move pixels on
+        # every _ACQ_CENTERS entry).
+        assert np.abs(ta.astype(int) - tc.astype(int)).mean() > 0.3
+        # The clean chain stays deterministic (no noise draws consumed).
+        t2, _ = center_tiles_with_masks(c, 4, 48, 48, seed=3,
+                                        cohort="acquisition-clean")
+        np.testing.assert_array_equal(tc, t2)
+
+
 def test_unknown_cohort_rejected():
     with pytest.raises(ValueError, match="cohort"):
         center_tiles_with_masks(0, 1, 16, 16, cohort="nope")
