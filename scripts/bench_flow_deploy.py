@@ -83,20 +83,29 @@ def run(args):
     for transfer in [t.strip() for t in args.transfers.split(",") if t.strip()]:
         full = transfer == "full"
         quant = transfer in ("quantile", "rgb-quantile")
-        q_space = "rgb" if transfer == "rgb-quantile" else "hsd"
+        composite = transfer in ("full-quantile", "rgb-full-quantile")
+        q_space = "rgb" if transfer.startswith("rgb-") else "hsd"
         stats = accumulate_template_stats(
             flow, gmm, cfg, params, spectral,
             [tmpl_hsd[i:i + args.batch]
              for i in range(0, len(tmpl_hsd), args.batch)],
-            key, return_cov=full, return_quantiles=quant,
-            quantile_space=q_space)
+            key, return_cov=full or composite,
+            return_quantiles=quant or composite,
+            quantile_space=q_space,
+            moment_space=q_space if composite else "hsd")
 
         def step(batch_u8, i, stats=stats, full=full, quant=quant,
-                 q_space=q_space):
+                 composite=composite, q_space=q_space):
             """One deploy batch, uint8 -> uint8 (chainable)."""
             k = jax.random.fold_in(key, i)
             hsd = rgb_to_hsd(batch_u8)
             _, _, gamma = encode(flow, gmm, params, spectral, cfg, hsd, k)
+            if composite:
+                xq = hsd if q_space == "hsd" else hsd_to_rgb(hsd)
+                mu_s, cov_s = color_eval.class_color_cov(xq, gamma)
+                return color_eval.image_dist_transform_full_quantile(
+                    xq, gamma, mu_s, cov_s, stats.mu, stats.cov,
+                    stats.quantiles, space=q_space)
             if quant:
                 xq = hsd if q_space == "hsd" else hsd_to_rgb(hsd)
                 q_s, _ = color_eval.class_channel_quantiles(xq, gamma)

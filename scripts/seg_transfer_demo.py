@@ -71,7 +71,7 @@ def parse_args(argv):
                         "slide-level approach)")
     p.add_argument("--transfer",
                    choices=("diag", "full", "quantile", "full-quantile",
-                            "rgb-quantile"),
+                            "rgb-quantile", "rgb-full-quantile"),
                    default="diag",
                    help="per-class transfer: 'diag' = the reference's "
                         "per-channel (mu, sigma) affine "
@@ -85,7 +85,10 @@ def parse_args(argv):
                         "r4); 'rgb-quantile' = quantile matching on the "
                         "float-RGB rendering — the space where acquisition "
                         "tone curves are per-channel monotone and exactly "
-                        "invertible (BASELINE.md r5)")
+                        "invertible (BASELINE.md r5); 'rgb-full-quantile' "
+                        "= the composite in RGB — the Monge map absorbs "
+                        "per-center linear stain MIXING while the quantile "
+                        "step inverts the tone curves (BASELINE.md r5)")
     p.add_argument("--src-stats", choices=("batch", "image"),
                    default="batch",
                    help="source statistics pooling for the flow transfer: "
@@ -255,15 +258,20 @@ def _make_recolor(args, flow, gmm, cfg, params, spectral, tmpl_tiles):
     key = jax.random.PRNGKey(args.seed + 1)
     k_t, key = jax.random.split(key)
     fq = args.transfer == "full-quantile"
+    rfq = args.transfer == "rgb-full-quantile"
     full = args.transfer == "full"
     quant = args.transfer == "quantile"
     rq = args.transfer == "rgb-quantile"
+    q_space = "rgb" if (rq or rfq) else "hsd"
+    composite = fq or rfq
     stats = accumulate_template_stats(
         flow, gmm, cfg, params, spectral,
         [tmpl_hsd[i:i + args.batch]
          for i in range(0, len(tmpl_hsd), args.batch)], k_t,
-        return_cov=full or fq, return_quantiles=quant or fq or rq,
-        quantile_space="rgb" if rq else "hsd")
+        return_cov=full or composite,
+        return_quantiles=quant or composite or rq,
+        quantile_space=q_space,
+        moment_space=q_space if composite else "hsd")
     mu_t, sd_t, usage_t = stats.mu, stats.sigma, stats.usage
     cov_t, q_t = stats.cov, stats.quantiles
     per_image = args.src_stats == "image"
@@ -275,10 +283,12 @@ def _make_recolor(args, flow, gmm, cfg, params, spectral, tmpl_tiles):
         if perm is None and args.class_match and not center_scope:
             perm = color_eval.match_classes_by_usage(
                 color_eval.class_usage(gamma), usage_t)
-        if fq:
-            mu_s, cov_s = color_eval.class_color_cov(hsd, gamma)
+        if composite:
+            xq = hsd if q_space == "hsd" else hsd_to_rgb(hsd)
+            mu_s, cov_s = color_eval.class_color_cov(xq, gamma)
             return color_eval.image_dist_transform_full_quantile(
-                hsd, gamma, mu_s, cov_s, mu_t, cov_t, q_t, perm=perm)
+                xq, gamma, mu_s, cov_s, mu_t, cov_t, q_t, perm=perm,
+                space=q_space)
         if quant:
             q_s, _ = color_eval.class_channel_quantiles(hsd, gamma)
             return color_eval.image_dist_transform_quantile(

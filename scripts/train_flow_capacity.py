@@ -75,13 +75,16 @@ def parse_args(argv):
                    help="usage-rank class matching at deploy (robust to the "
                         "OOD class permutation, BASELINE.md r4); default = "
                         "the reference's k->k mapping")
-    p.add_argument("--transfer", choices=("diag", "full", "quantile"),
-                   default="diag",
+    p.add_argument("--transfer", default="diag",
+                   choices=("diag", "full", "quantile", "rgb-quantile",
+                            "full-quantile", "rgb-full-quantile"),
                    help="per-class transfer at deploy: 'diag' = the "
                         "reference's (mu, sigma) affine "
                         "(train_img_horo.py:815); 'full' = full-covariance "
-                        "Monge maps; 'quantile' = per-class quantile "
-                        "matching (both EXTENSIONS; BASELINE.md r4)")
+                        "Monge maps; 'quantile'/'rgb-quantile' = per-class "
+                        "quantile matching in HSD/RGB; "
+                        "'full-quantile'/'rgb-full-quantile' = Monge then "
+                        "quantile (all EXTENSIONS; BASELINE.md r4/r5)")
     p.add_argument("--cpu", action="store_true")
     return p.parse_args(argv)
 

@@ -227,13 +227,23 @@ def image_dist_transform_full_quantile(hsd, gamma, mu_src, cov_src,
                                        mu_tmpl, cov_tmpl, q_tmpl,
                                        n_points: int = 33,
                                        prior_weight: float = 256.0,
-                                       perm=None):
+                                       perm=None, space: str = "hsd"):
     """Composite per-class transfer (EXTENSION): Monge rotation first, then
     per-channel quantile matching of the rotated values onto the template's
     curves — fixes both failure modes measured in BASELINE.md r4 (chroma
     rotation, which per-channel maps cannot produce, and non-affine
     marginal shifts, which affine maps cannot close). Same contract as
-    :func:`image_dist_transform`."""
+    :func:`image_dist_transform`.
+
+    ``space`` as in :func:`image_dist_transform_quantile`: with ``"rgb"``,
+    ``hsd`` and every statistic are float RGB in [0, 255] and no HSD->RGB
+    conversion is applied on output. The RGB composite is the natural fit
+    for acquisition-style variation (BASELINE.md r5): per-center stain
+    MIXING is linear in OD/RGB (the Monge map absorbs it per class) while
+    scanner tone curves are per-RGB-channel monotone (the quantile
+    correction inverts them)."""
+    if space not in ("hsd", "rgb"):
+        raise ValueError(f"space must be 'hsd' or 'rgb', got {space!r}")
     if perm is not None:
         mu_tmpl = jnp.asarray(mu_tmpl)[perm]
         cov_tmpl = jnp.asarray(cov_tmpl)[perm]
@@ -284,7 +294,7 @@ def image_dist_transform_full_quantile(hsd, gamma, mu_src, cov_src,
         (jnp.asarray(mu_src, jnp.float32), A,
          jnp.asarray(mu_tmpl, jnp.float32),
          jnp.asarray(q_tmpl, jnp.float32), jnp.moveaxis(g, -1, 0)))
-    return to_uint8(hsd_to_rgb(out))
+    return to_uint8(out if space == "rgb" else hsd_to_rgb(out))
 
 
 def class_usage(gamma):

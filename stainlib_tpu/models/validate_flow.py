@@ -68,18 +68,22 @@ class TemplateStats(NamedTuple):
 
 def _batch_sums(flow, gmm, cfg, params, spectral, hsd, key,
                 with_cov: bool, with_quantiles: bool,
-                quantile_space: str = "hsd") -> TemplateSums:
+                quantile_space: str = "hsd",
+                moment_space: str = "hsd") -> TemplateSums:
     """One batch's contribution to the template sums (pure; jit/shard_map
     safe — gamma is key-independent, the key only drives the stochastic
     logdet estimator inside ``encode``). ``quantile_space`` selects the
     channels the quantile curves summarize: the HSD input itself, or its
     float-RGB rendering (see
-    :func:`color_eval.image_dist_transform_quantile`)."""
+    :func:`color_eval.image_dist_transform_quantile`); ``moment_space``
+    does the same for the moment sums (x/xx/xxT) — 'rgb' feeds the RGB
+    composite transfer (BASELINE.md r5)."""
     _, _, gamma = encode(flow, gmm, params, spectral, cfg, hsd, key)
+    xm = hsd if moment_space == "hsd" else hsd_to_rgb(hsd)
     w = jnp.sum(gamma, axis=(0, 1, 2))  # (K,)
-    x = jnp.einsum("bhwk,bhwc->kc", gamma, hsd)
-    xx = jnp.einsum("bhwk,bhwc->kc", gamma, hsd * hsd)
-    xxT = (jnp.einsum("bhwk,bhwc,bhwd->kcd", gamma, hsd, hsd)
+    x = jnp.einsum("bhwk,bhwc->kc", gamma, xm)
+    xx = jnp.einsum("bhwk,bhwc->kc", gamma, xm * xm)
+    xxT = (jnp.einsum("bhwk,bhwc,bhwd->kcd", gamma, xm, xm)
            if with_cov else None)
     wq = None
     if with_quantiles:
@@ -93,7 +97,8 @@ def accumulate_template_sums(flow, gmm, cfg: FlowConfig, params, spectral,
                              template_batches: Iterable, key,
                              with_cov: bool = False,
                              with_quantiles: bool = False,
-                             quantile_space: str = "hsd") -> TemplateSums:
+                             quantile_space: str = "hsd",
+                             moment_space: str = "hsd") -> TemplateSums:
     """Template-sum accumulation over all template batches — the running
     sums of ``train_img_horo.py:676-727`` before their allreduce. Under
     multi-host SPMD, psum the result over the 'data' axis
@@ -102,7 +107,7 @@ def accumulate_template_sums(flow, gmm, cfg: FlowConfig, params, spectral,
     fn = jax.jit(functools.partial(
         _batch_sums, flow, gmm, cfg, params, spectral,
         with_cov=with_cov, with_quantiles=with_quantiles,
-        quantile_space=quantile_space))
+        quantile_space=quantile_space, moment_space=moment_space))
     sums = None
     for hsd in template_batches:
         key, sub = jax.random.split(key)
@@ -115,7 +120,8 @@ def template_sums_sharded(flow, gmm, cfg: FlowConfig, params, spectral,
                           hsd, key, mesh, axis_name: str = "data",
                           with_cov: bool = False,
                           with_quantiles: bool = False,
-                          quantile_space: str = "hsd") -> TemplateSums:
+                          quantile_space: str = "hsd",
+                          moment_space: str = "hsd") -> TemplateSums:
     """One global template batch SHARDED over ``mesh[axis_name]``: each
     shard encodes its local tiles and computes local sums, then the sums
     are allreduced in-program (``psum_stats`` — the ``hvd.allreduce`` of
@@ -132,7 +138,8 @@ def template_sums_sharded(flow, gmm, cfg: FlowConfig, params, spectral,
     def go(p, sp, hsd_shard, k):
         s = _batch_sums(flow, gmm, cfg, p, sp, hsd_shard, k,
                         with_cov=with_cov, with_quantiles=with_quantiles,
-                        quantile_space=quantile_space)
+                        quantile_space=quantile_space,
+                        moment_space=moment_space)
         return psum_stats(s, axis_name)
 
     hsd = jax.device_put(jnp.asarray(hsd, jnp.float32),
@@ -160,7 +167,8 @@ def accumulate_template_stats(flow, gmm, cfg: FlowConfig, params, spectral,
                               return_usage: bool = True,
                               return_cov: bool = False,
                               return_quantiles: bool = False,
-                              quantile_space: str = "hsd"
+                              quantile_space: str = "hsd",
+                              moment_space: str = "hsd"
                               ) -> TemplateStats:
     """Running-mean template statistics over all template batches
     (``train_img_horo.py:676-727``): a :class:`TemplateStats` with
@@ -177,7 +185,7 @@ def accumulate_template_stats(flow, gmm, cfg: FlowConfig, params, spectral,
     sums = accumulate_template_sums(
         flow, gmm, cfg, params, spectral, template_batches, key,
         with_cov=return_cov, with_quantiles=return_quantiles,
-        quantile_space=quantile_space)
+        quantile_space=quantile_space, moment_space=moment_space)
     return finalize_stats(sums)
 
 
@@ -193,7 +201,7 @@ def finalize_template_stats(sum_w, sum_x, sum_xx, eps: float = 1e-6):
 def deploy(flow, gmm, cfg: FlowConfig, params, spectral, test_batches,
            mu_tmpl, sigma_tmpl, key, log=print, usage_tmpl=None,
            cov_tmpl=None, q_tmpl=None, pooled_usage: bool = False,
-           q_space: str = "hsd"):
+           q_space: str = "hsd", composite: bool = False):
     """DEPLOY pass: recolor every test batch toward the template and collect
     per-image NMI of the recolored output (``train_img_horo.py:750-862``).
 
@@ -223,6 +231,15 @@ def deploy(flow, gmm, cfg: FlowConfig, params, spectral, test_batches,
     ``cov_tmpl``. ``q_space`` ('hsd'|'rgb') selects the channels the curves
     were accumulated over and the matching runs in — 'rgb' inverts
     per-RGB-channel acquisition tone curves exactly (BASELINE.md r5).
+
+    ``composite`` (with BOTH ``cov_tmpl`` and ``q_tmpl``, accumulated in
+    the same ``q_space``): per-class Monge rotation then per-channel
+    quantile correction
+    (:func:`color_eval.image_dist_transform_full_quantile` — EXTENSION;
+    in 'rgb' space the Monge map absorbs per-center linear stain MIXING
+    while the quantile step inverts per-channel scanner tone curves,
+    BASELINE.md r5). ``mu_tmpl`` must then be accumulated in ``q_space``
+    too (``accumulate_template_stats(moment_space=...)``).
 
     ``pooled_usage`` (with ``usage_tmpl``): accumulate class usage over ALL
     test batches first and use ONE permutation for the whole deploy set —
@@ -264,7 +281,13 @@ def deploy(flow, gmm, cfg: FlowConfig, params, spectral, test_batches,
                 else color_eval.match_classes_by_usage(
                     color_eval.class_usage(gamma), usage_tmpl)
                 if usage_tmpl is not None else None)
-        if q_tmpl is not None:
+        if composite and q_tmpl is not None and cov_tmpl is not None:
+            xq = hsd if q_space == "hsd" else hsd_to_rgb(hsd)
+            mu_s, cov_s = color_eval.class_color_cov(xq, gamma)
+            rgb = color_eval.image_dist_transform_full_quantile(
+                xq, gamma, mu_s, cov_s, mu_tmpl, cov_tmpl, q_tmpl,
+                perm=perm, space=q_space)
+        elif q_tmpl is not None:
             xq = hsd if q_space == "hsd" else hsd_to_rgb(hsd)
             q_src, _ = color_eval.class_channel_quantiles(xq, gamma)
             rgb = color_eval.image_dist_transform_quantile(
@@ -310,18 +333,29 @@ def validate(flow, gmm, cfg: FlowConfig, params, spectral,
     :func:`color_eval.image_dist_transform_quantile`);
     'rgb-quantile' = the same matching on the float-RGB rendering — the
     space where acquisition tone curves are per-channel monotone and thus
-    exactly invertible (EXTENSION, BASELINE.md r5).
+    exactly invertible (EXTENSION, BASELINE.md r5);
+    'full-quantile' / 'rgb-full-quantile' = the COMPOSITE (per-class Monge
+    rotation, then per-channel quantile correction;
+    :func:`color_eval.image_dist_transform_full_quantile`) in HSD / RGB —
+    the RGB composite handles per-center linear stain mixing AND monotone
+    tone curves together (EXTENSION, BASELINE.md r5).
     ``mesh``: when given, each template batch is SHARDED over
     ``mesh[axis_name]`` and its statistic sums are allreduced in-program
     (:func:`template_sums_sharded`) — the reference's data-parallel
     template pass with its ``hvd.allreduce`` (``train_img_horo.py:
     742-748``); the batch size must divide by the axis size."""
-    if transfer not in ("diag", "full", "quantile", "rgb-quantile"):
-        raise ValueError(
-            "transfer must be 'diag', 'full', 'quantile' or 'rgb-quantile', "
-            f"got {transfer!r}")
-    q_space = "rgb" if transfer == "rgb-quantile" else "hsd"
-    with_q = transfer in ("quantile", "rgb-quantile")
+    transfers = ("diag", "full", "quantile", "rgb-quantile",
+                 "full-quantile", "rgb-full-quantile")
+    if transfer not in transfers:
+        raise ValueError(f"transfer must be one of {transfers}, "
+                         f"got {transfer!r}")
+    q_space = "rgb" if transfer.startswith("rgb-") else "hsd"
+    with_q = transfer.endswith("quantile")
+    composite = transfer in ("full-quantile", "rgb-full-quantile")
+    with_cov = transfer == "full" or composite
+    # The composite consumes mu/cov in the SAME space as its quantile
+    # curves (deploy() contract); plain 'full' keeps the HSD moments.
+    m_space = q_space if composite else "hsd"
     k1, k2 = jax.random.split(key)
     if mesh is not None:
         sums = None
@@ -329,15 +363,17 @@ def validate(flow, gmm, cfg: FlowConfig, params, spectral,
             k1, sub = jax.random.split(k1)
             s = template_sums_sharded(
                 flow, gmm, cfg, params, spectral, hsd, sub, mesh,
-                axis_name=axis_name, with_cov=transfer == "full",
-                with_quantiles=with_q, quantile_space=q_space)
+                axis_name=axis_name, with_cov=with_cov,
+                with_quantiles=with_q, quantile_space=q_space,
+                moment_space=m_space)
             sums = s if sums is None else jax.tree.map(jnp.add, sums, s)
         stats = finalize_stats(sums)
     else:
         stats = accumulate_template_stats(
             flow, gmm, cfg, params, spectral, template_batches, k1,
-            return_cov=transfer == "full",
-            return_quantiles=with_q, quantile_space=q_space
+            return_cov=with_cov,
+            return_quantiles=with_q, quantile_space=q_space,
+            moment_space=m_space
         )
     mu_t, sd_t = stats.mu, stats.sigma
     nmis, outs, (cls_nmi, cls_nmi_raw) = deploy(
@@ -345,7 +381,8 @@ def validate(flow, gmm, cfg: FlowConfig, params, spectral,
         mu_t, sd_t, k2, log=log,
         usage_tmpl=stats.usage if class_match else None,
         cov_tmpl=stats.cov, q_tmpl=stats.quantiles,
-        pooled_usage=pooled_class_match, q_space=q_space)
+        pooled_usage=pooled_class_match, q_space=q_space,
+        composite=composite)
     sd, cv = color_eval.nmi_sd_cv(nmis)
     # The reference metric: per-class SD/CV averaged across classes
     # (train_img_horo.py:865-898), before and after recoloring.

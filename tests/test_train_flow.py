@@ -310,6 +310,46 @@ def test_validate_rgb_quantile_transfer_runs():
     assert res["outputs"][0].dtype == np.uint8
 
 
+def test_validate_composite_transfers_run():
+    """validate(transfer='full-quantile'/'rgb-full-quantile') end to end:
+    RGB/HSD moments + quantile curves accumulated in the SAME space
+    (moment_space contract of deploy(composite=True)), deployed, NMI out."""
+    flow, gmm, state, tx = init_flow_state(CFG, KEY)
+    rng = np.random.default_rng(12)
+    batches = [rng.random((2, 16, 16, 3), np.float32) for _ in range(2)]
+    for transfer in ("full-quantile", "rgb-full-quantile"):
+        res = validate_flow.validate(
+            flow, gmm, CFG, state.params, state.spectral,
+            batches, batches, KEY, transfer=transfer)
+        assert np.isfinite(res["nmi_sd"]), transfer
+        assert res["outputs"][0].dtype == np.uint8, transfer
+
+
+def test_rgb_full_quantile_identity_in_rgb_space():
+    """space='rgb' composite: identity when source == template statistics
+    (round trip within 1 u8 of the direct uint8 rendering, no HSD->RGB
+    conversion applied on output)."""
+    rng = np.random.default_rng(6)
+    K = 2
+    cls = rng.choice(K, size=(2, 32, 32))
+    g = np.eye(K, dtype=np.float32)[cls]
+    x = np.where(cls[..., None] == 0,
+                 rng.normal(90.0, 12.0, (2, 32, 32, 3)),
+                 rng.normal(180.0, 20.0, (2, 32, 32, 3))
+                 ).astype(np.float32)
+    x = np.clip(x, 0.0, 255.0)
+    mu, cov = color_eval.class_color_cov(x, g)
+    q, _ = color_eval.class_channel_quantiles(x, g)
+    out = color_eval.image_dist_transform_full_quantile(
+        x, g, mu, cov, mu, cov, q, space="rgb")
+    assert out.shape == (2, 32, 32, 3) and out.dtype == jnp.uint8
+    direct = np.clip(np.round(x), 0, 255).astype(np.uint8)
+    assert np.abs(np.asarray(out, int) - direct.astype(int)).max() <= 1
+    with pytest.raises(ValueError):
+        color_eval.image_dist_transform_full_quantile(
+            x, g, mu, cov, mu, cov, q, space="lab")
+
+
 def test_full_quantile_transfer_identity_and_shapes():
     """The composite Monge+quantile transfer: identity when source ==
     template stats (round trip within 1 u8), valid uint8 output."""
