@@ -517,8 +517,10 @@ def bench_dann():
 def bench_large():
     """The >512^2 route the drop-in API actually takes
     (``api._use_tiled`` -> ``extractive.transform_tiled_jit``): whole-field
-    estimation (functional streaming percentiles) + fixed-matrix fused
-    apply over 512-square blocks. Reported in 256-equivalent tiles/s;
+    estimation on the API's grid subsample (``tiled_est_stride`` keeps
+    >= 256^2 pixels; estimation is ~85% of the full-resolution route's
+    cost, BASELINE.md r5) + fixed-matrix fused apply over 512-square
+    blocks. Reported in 256-equivalent tiles/s;
     ``--size`` picks the field side (default 1024). The JSON carries the
     max uint8 deviation vs the functional ``transform_jit`` path on the
     same field (the tiled apply is per-pixel exact; the fused apply
@@ -539,9 +541,10 @@ def bench_large():
                           extractive.fit(target, method="macenko"))
 
     on_tpu = jax.devices()[0].platform != "cpu"
+    es = extractive.tiled_est_stride(h, h)  # what the drop-in API picks
 
     def run(x):
-        return extractive.transform_tiled_jit(params, x,
+        return extractive.transform_tiled_jit(params, x, est_stride=es,
                                               interpret=not on_tpu)
 
     # Fidelity vs the functional path (one field, off the timed chain).
@@ -555,9 +558,11 @@ def bench_large():
                         np.asarray(params.stain_matrix_target, np.float64),
                         np.asarray(params.max_c_target, np.float64), n=2)
     print(json.dumps({
-        "metric": f"macenko_norm_{h}x{h}_256equiv_tiles_per_sec[tiled_fused]",
+        "metric": f"macenko_norm_{h}x{h}_256equiv_tiles_per_sec"
+                  f"[tiled_fused_es{es}]",
         "value": round(tps, 2), "unit": "tiles/s",
         "vs_baseline": round(tps / cpu_tps, 2),
+        "est_stride": es,
         "max_u8_diff_vs_functional": max_diff,
     }))
 

@@ -189,8 +189,12 @@ class ExtractiveStainNormalizer:
                         self._params.max_c_target,
                         **_fast_fit_kwargs(I, self.method))[0]
         elif _use_tiled(I):
+            # Estimation rides a grid subsample that keeps >= 256^2 pixels
+            # (the validated fused-tile operating point); the blockwise
+            # apply stays per-pixel exact (BASELINE.md r5 tiled route).
             out = _extractive.transform_tiled_jit(
-                self._params, jnp.asarray(I), method=self.method)
+                self._params, jnp.asarray(I), method=self.method,
+                est_stride=_extractive.tiled_est_stride(*I.shape[:2]))
         else:
             out = _extractive.transform_jit(self._params, jnp.asarray(I),
                                             method=self.method)

@@ -617,6 +617,126 @@ def macenko_normalize(rgb, stain_matrix_tgt, max_c_target, **kw):
 
 
 # ---------------------------------------------------------------------------
+# Fit-only kernel: Macenko estimation WITHOUT the apply
+# ---------------------------------------------------------------------------
+
+# per-image scalar table for the fit kernel:
+# [0] regularizer, [1] luminosity threshold
+_NSCAL_FIT = 2
+
+
+def _fit_kernel(scal_ref, rgb_ref, out_ref, *, q_angle: float,
+                q_conc: float, n_bisect: int, tiles_per_step: int = 1,
+                n_cands: int = 1):
+    """Phases 1-4 of :func:`_apply_kernel` — estimation statistics only —
+    writing the eight fit scalars (stain rows h/e + maxC per stain) to a
+    one-hot (8, 128) plane per tile (the :func:`_stats_kernel` layout
+    trick). Used by the >512^2 tiled route, whose whole-field estimation
+    on the functional streaming path measured 78-88% of the route's cost
+    (BASELINE.md r5): the grid subsample is one fused tile's worth of
+    pixels, so estimation belongs in one VMEM-resident kernel too."""
+    base = pl.program_id(0) * tiles_per_step
+
+    def sc(t, i):
+        return scal_ref[base + t, i]
+
+    tiles = []
+    angle_searches = []
+    for t in range(tiles_per_step):
+        od0, od1, od2, mask = _od_and_mask(rgb_ref[t], sc(t, 1))
+        stats = _od_moments(od0, od1, od2, mask.astype(jnp.float32))
+        v = _eigenplane_scalars(stats)
+        angle_searches += _angle_searches(
+            _pseudo_angle(od0, od1, od2, v), mask, stats[0], q_angle)
+        tiles.append((od0, od1, od2, v))
+
+    bounds = _multi_masked_percentile(angle_searches,
+                                      n_iters=max(n_bisect - 4, 8),
+                                      n_cands=n_cands)
+
+    conc_searches = []
+    rows_all = []
+    for t, (od0, od1, od2, v) in enumerate(tiles):
+        rows = _stain_rows_from_bounds(v, bounds[2 * t], bounds[2 * t + 1])
+        c1, c2 = _lasso2(od0, od1, od2, rows[:3], rows[3:], sc(t, 0))
+        n_fit = jnp.float32(c1.shape[0] * c1.shape[1])
+        conc_searches += [
+            (c1, None, n_fit, q_conc, jnp.float32(0.0), jnp.max(c1)),
+            (c2, None, n_fit, q_conc, jnp.float32(0.0), jnp.max(c2)),
+        ]
+        rows_all.append(rows)
+
+    maxcs = _multi_masked_percentile(conc_searches, n_iters=n_bisect,
+                                     n_cands=n_cands)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    for t, rows in enumerate(rows_all):
+        vals = rows + (maxcs[2 * t], maxcs[2 * t + 1])
+        acc = jnp.zeros((8, 128), jnp.float32)
+        for k, val in enumerate(vals):
+            acc = acc + jnp.where((row == 0) & (lane == k), val, 0.0)
+        out_ref[t] = acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("luminosity_threshold", "angular_percentile",
+                     "q_conc", "regularizer", "n_bisect", "interpret",
+                     "tiles_per_step", "n_cands"),
+)
+def macenko_fit_planar(
+    rgb_planar,
+    luminosity_threshold: float = 0.8,
+    angular_percentile: float = 99.0,
+    q_conc: float = 99.0,
+    regularizer: float = 0.01,
+    n_bisect: int = 14,
+    interpret: bool = False,
+    tiles_per_step: int = 0,
+    n_cands: int = 1,
+):
+    """Macenko estimation over planar (B, 3, R, 128) uint8 tiles with NO
+    apply: returns ``(stain_matrix (B, 2, 3), max_c (B, 2))`` — the
+    per-image half of ``normalizer.py:45-48``, at fused-kernel cost. Same
+    statistics as :func:`macenko_normalize_planar`'s in-kernel fit
+    (identical helper pipeline), so fixed-matrix application of the result
+    reproduces the fused normalize within its established one-uint8 step.
+    VMEM bounds match the normalize kernel: tiles up to 512^2 pixels."""
+    B, C, R, L = rgb_planar.shape
+    assert C == 3 and L == LANES
+
+    scal = jnp.concatenate(
+        [jnp.full((B, 1), regularizer, jnp.float32),
+         jnp.full((B, 1), luminosity_threshold, jnp.float32)], axis=1)
+
+    if tiles_per_step <= 0:
+        budget = max((256 * 256 * 4) // (R * L), 1)
+        tiles_per_step = next(t for t in (4, 2, 1)
+                              if t <= budget and B % t == 0)
+    assert B % tiles_per_step == 0, (B, tiles_per_step)
+    T = tiles_per_step
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // T,),
+        in_specs=[pl.BlockSpec((T, 3, R, L), lambda i, s: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((T, 8, 128), lambda i, s: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    plane = pl.pallas_call(
+        functools.partial(_fit_kernel, q_angle=angular_percentile,
+                          q_conc=q_conc, n_bisect=n_bisect,
+                          tiles_per_step=T, n_cands=n_cands),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
+        interpret=interpret,
+    )(scal, rgb_planar)
+    vals = plane[:, 0, :8]
+    return vals[:, :6].reshape(B, 2, 3), vals[:, 6:8]
+
+
+# ---------------------------------------------------------------------------
 # Fused stain augmentation (StainAugmentor, augmenter.py:403-448)
 # ---------------------------------------------------------------------------
 
